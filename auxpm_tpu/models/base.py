@@ -1,0 +1,54 @@
+"""Target protocol: log-prior + deterministic likelihood estimator.
+
+Mirrors the reference's L3 layer (SURVEY.md §1: "log-prior +
+log-lik-estimator pairs per experiment") but as an explicit, jit-friendly
+object.  The auxiliary-variable contract (Murray & Graham 2016 §3):
+
+    u ~ N(0, I) over ``u_shape``;  log_lik_est(theta, u) is a deterministic,
+    (where possible) differentiable function whose exponential is an unbiased
+    estimate of the marginal likelihood p(y | theta).
+
+The joint target the samplers leave invariant is
+
+    p(theta, u)  ∝  exp(log_prior(theta) + log_lik_est(theta, u)) N(u; 0, I).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+
+
+@dataclasses.dataclass(frozen=True)
+class Target:
+    """A pseudo-marginal target.
+
+    Attributes:
+      d: parameter dimension.
+      u_shape: shape of the auxiliary standard-normal block (e.g. ``(S, n)``).
+      log_prior: ``theta (d,) -> scalar`` log prior density.
+      log_lik_est: ``(theta, u) -> scalar`` deterministic log of the unbiased
+        marginal-likelihood estimate.
+      theta_init: default initial parameter vector.
+      name: identifier used by presets / metrics.
+      exact_log_post: optional closed-form unnormalised log posterior
+        (Gaussian toy only) for exactness tests.
+      posterior_mean / posterior_cov: optional closed-form moments for tests.
+    """
+
+    d: int
+    u_shape: tuple
+    log_prior: Callable
+    log_lik_est: Callable
+    theta_init: jax.Array
+    name: str = "target"
+    exact_log_post: Optional[Callable] = None
+    posterior_mean: Optional[jax.Array] = None
+    posterior_cov: Optional[jax.Array] = None
+
+    def log_joint(self, theta, u):
+        """Unnormalised joint log density in (theta, u) minus the N(u;0,I)
+        factor (which every sampler here preserves by construction)."""
+        return self.log_prior(theta) + self.log_lik_est(theta, u)

@@ -1,0 +1,62 @@
+"""Numerically-stable log-sum-exp reductions.
+
+The reference reduces S importance weights with ``scipy.special.logsumexp``
+(SURVEY.md §3.4).  On TPU the same reduction appears in three regimes:
+
+1. Per-chain, S on one device: plain max-shifted reduction (XLA fuses it into
+   the surrounding estimator computation).
+2. Masked: bounded vmapped loops probe with inactive lanes; masked entries
+   must contribute -inf without producing NaNs.
+3. Sharded particles: S split over a ``particles`` mesh axis.  The global
+   reduction is an *online* log-sum-exp — per-shard max + shifted sums
+   combined with ``psum``/``pmax`` — the flash-attention online-softmax trick
+   applied to importance weights (SURVEY.md §5 "long-context" item; required
+   at 1M SMC particles, BASELINE.json:11).  See
+   ``auxpm_tpu.parallel.collectives.psum_logsumexp`` for the collective form.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def logsumexp(x, axis=None, keepdims=False):
+    """Max-shifted logsumexp; safe when all entries are -inf."""
+    m = jnp.max(x, axis=axis, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # avoid -inf - -inf = nan
+    s = jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True)
+    out = jnp.log(s) + m
+    if not keepdims and axis is not None:
+        out = jnp.squeeze(out, axis=axis)
+    elif not keepdims:
+        out = jnp.squeeze(out)
+    return out
+
+
+def masked_logsumexp(x, mask, axis=None, keepdims=False):
+    """logsumexp over entries where ``mask`` is True; others act as -inf."""
+    neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+    return logsumexp(jnp.where(mask, x, neg_inf), axis=axis, keepdims=keepdims)
+
+
+def streaming_logsumexp(carry, block):
+    """One online-logsumexp combine step.
+
+    ``carry = (m, s)`` with running max ``m`` and running sum of
+    ``exp(x - m)`` named ``s``; ``block`` is a new vector of log-weights.
+    Returns the updated carry.  ``log_total = log(s) + m`` at the end.
+    Used to stream over particle/row blocks so the full weight vector never
+    has to be materialised (SURVEY.md §5 item 1).
+    """
+    m, s = carry
+    bm = jnp.max(block)
+    new_m = jnp.maximum(m, bm)
+    # rescale both old sum and new block onto the new max
+    s = s * jnp.exp(m - new_m) + jnp.sum(jnp.exp(block - new_m))
+    return new_m, s
+
+
+def streaming_logsumexp_finish(carry):
+    m, s = carry
+    return jnp.log(s) + m

@@ -1,0 +1,45 @@
+"""Preset composite transitions — the paper's auxiliary PM samplers.
+
+"Auxiliary pseudo-marginal slice sampling" (BASELINE.json:5) is the
+composition (ESS on u | theta) then (slice on theta | u); per-iteration
+composition per SURVEY.md §3.1/§3.3.  Variants exposed:
+
+- ``aux_slice``:        ESS(u) ∘ per-coordinate slice(theta)   [the method]
+- ``aux_slice_rd``:     ESS(u) ∘ random-direction slice(theta)
+- ``aux_mh``:           ESS(u) ∘ random-walk MH(theta)
+- ``pm_mh``:            plain pseudo-marginal MH baseline
+"""
+
+from __future__ import annotations
+
+from auxpm_tpu.core.transition import compose
+from auxpm_tpu.samplers.ess_u import make_ess_u
+from auxpm_tpu.samplers.mh_theta import make_mh_theta
+from auxpm_tpu.samplers.pm_mh import make_pm_mh
+from auxpm_tpu.samplers.slice_theta import make_slice_theta, make_slice_theta_rd
+
+
+def make_aux_slice(target):
+    return compose(
+        [("ess_u", make_ess_u(target)), ("slice_theta", make_slice_theta(target))]
+    )
+
+
+def make_aux_slice_rd(target):
+    return compose(
+        [("ess_u", make_ess_u(target)), ("slice_theta", make_slice_theta_rd(target))]
+    )
+
+
+def make_aux_mh(target):
+    return compose(
+        [("ess_u", make_ess_u(target)), ("mh_theta", make_mh_theta(target))]
+    )
+
+
+SAMPLERS = {
+    "pm_mh": make_pm_mh,
+    "aux_slice": make_aux_slice,
+    "aux_slice_rd": make_aux_slice_rd,
+    "aux_mh": make_aux_mh,
+}

@@ -36,6 +36,12 @@ class Target:
       exact_log_post: optional closed-form unnormalised log posterior
         (Gaussian toy only) for exactness tests.
       posterior_mean / posterior_cov: optional closed-form moments for tests.
+      prepare / log_lik_est_u: optional split of the estimator into a
+        theta-only precomputation (Gram + Cholesky for GPs) and a cheap
+        per-u evaluation, so samplers whose probes hold theta fixed (the
+        elliptical-slice u-update) amortise the O(n³) part across probes
+        (SURVEY.md §3.1 "θ unchanged ⇒ cacheable").  Contract:
+        ``log_lik_est(theta, u) == log_lik_est_u(prepare(theta), u)``.
     """
 
     d: int
@@ -47,6 +53,8 @@ class Target:
     exact_log_post: Optional[Callable] = None
     posterior_mean: Optional[jax.Array] = None
     posterior_cov: Optional[jax.Array] = None
+    prepare: Optional[Callable] = None
+    log_lik_est_u: Optional[Callable] = None
 
     def log_joint(self, theta, u):
         """Unnormalised joint log density in (theta, u) minus the N(u;0,I)

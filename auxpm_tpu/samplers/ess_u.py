@@ -47,9 +47,17 @@ def make_ess_u(target):
             jax.random.uniform(k_h, (), state.u.dtype)
         )
 
+        # theta is fixed for every probe: amortise the expensive part of the
+        # estimator (Gram + Cholesky for GP targets) across the whole loop.
+        if target.prepare is not None:
+            prepared = target.prepare(state.theta)
+            est = lambda u: target.log_lik_est_u(prepared, u)  # noqa: E731
+        else:
+            est = lambda u: target.log_lik_est(state.theta, u)  # noqa: E731
+
         def propose(angle):
             u_p = state.u * jnp.cos(angle) + v * jnp.sin(angle)
-            return u_p, target.log_lik_est(state.theta, u_p)
+            return u_p, est(u_p)
 
         # Initial angle and bracket.
         a0 = jax.random.uniform(k_loop, (), state.u.dtype) * _TWO_PI

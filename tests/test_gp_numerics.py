@@ -1,0 +1,118 @@
+"""Unit numerics for the GP layer (SURVEY.md §4.1-§4.2).
+
+- SE Gram (iso + ARD) vs. a naive double-loop NumPy oracle.
+- Cholesky round trip C @ C.T ≈ K; whitening empirical covariance → K.
+- GP estimator vs. the pure-NumPy oracle estimator (same theta, u).
+- Likelihood stability on extreme logits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auxpm_tpu.models.datasets import load
+from auxpm_tpu.models.gp_classification import make_gp_classification
+from auxpm_tpu.models.likelihoods import logistic_log_lik, probit_log_lik
+from auxpm_tpu.ops.cholesky import whiten
+from auxpm_tpu.ops.gram import pairwise_sqdist, se_gram_ard, se_gram_iso
+from tests.oracle.np_gp import NumpyGPTarget
+
+
+def _naive_gram(x, log_ells, log_sigma, jitter):
+    n, d = x.shape
+    k = np.zeros((n, n))
+    ells = np.exp(np.broadcast_to(log_ells, (d,)))
+    for i in range(n):
+        for j in range(n):
+            s = sum((x[i, a] - x[j, a]) ** 2 / ells[a] ** 2 for a in range(d))
+            k[i, j] = np.exp(2 * log_sigma) * np.exp(-0.5 * s)
+    return k + jitter * np.eye(n)
+
+
+def test_gram_matches_naive_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((23, 3)).astype(np.float32)
+    log_sigma, jitter = 0.3, 1e-5
+
+    iso = se_gram_iso(pairwise_sqdist(jnp.asarray(x)), jnp.float32(-0.2), jnp.float32(log_sigma), jitter)
+    np.testing.assert_allclose(
+        np.asarray(iso), _naive_gram(x, -0.2, log_sigma, jitter), rtol=2e-4, atol=2e-5
+    )
+
+    log_ells = np.array([-0.2, 0.1, 0.4], np.float32)
+    ard = se_gram_ard(jnp.asarray(x), jnp.asarray(log_ells), jnp.float32(log_sigma), jitter)
+    np.testing.assert_allclose(
+        np.asarray(ard), _naive_gram(x, log_ells, log_sigma, jitter), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_cholesky_roundtrip_and_whitening_covariance():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((40, 2)).astype(np.float32)
+    k = se_gram_iso(pairwise_sqdist(jnp.asarray(x)), 0.1, 0.2, 1e-4)
+    c = jnp.linalg.cholesky(k)
+    np.testing.assert_allclose(np.asarray(c @ c.T), np.asarray(k), rtol=1e-4, atol=1e-4)
+
+    u = jax.random.normal(jax.random.key(0), (20000, 40))
+    f = whiten(c, u)
+    emp_cov = np.cov(np.asarray(f).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(k), atol=0.12)
+
+
+def test_gp_estimator_matches_numpy_oracle():
+    x, y = load("pima", subsample=64)
+    target = make_gp_classification(x, y, n_importance=16)
+    oracle = NumpyGPTarget(x, y, n_importance=16, use_native=False)
+
+    theta = np.array([0.2, -0.1], np.float32)
+    u = np.asarray(jax.random.normal(jax.random.key(2), target.u_shape))
+    got = float(target.log_lik_est(jnp.asarray(theta), jnp.asarray(u)))
+    want = oracle.log_lik_est(theta, u)
+    assert abs(got - want) < 2e-2 * abs(want), (got, want)
+
+    # prepare/estimate split must agree with the fused path
+    split = float(target.log_lik_est_u(target.prepare(jnp.asarray(theta)), jnp.asarray(u)))
+    assert abs(split - got) < 1e-5
+
+
+def test_probit_matches_oracle_and_likelihood_stability():
+    x, y = load("pima", subsample=32)
+    target = make_gp_classification(x, y, n_importance=8, likelihood="probit")
+    oracle = NumpyGPTarget(x, y, n_importance=8, likelihood="probit", use_native=False)
+    theta = np.array([0.0, 0.3], np.float32)
+    u = np.asarray(jax.random.normal(jax.random.key(3), target.u_shape))
+    got = float(target.log_lik_est(jnp.asarray(theta), jnp.asarray(u)))
+    want = oracle.log_lik_est(theta, u)
+    assert abs(got - want) < 2e-2 * abs(want), (got, want)
+
+    # extreme logits stay finite
+    f = jnp.asarray([-40.0, -8.5, 0.0, 8.5, 40.0])
+    yv = jnp.ones_like(f)
+    assert np.isfinite(float(logistic_log_lik(f, yv)))
+    assert np.isfinite(float(probit_log_lik(f, yv)))
+    # probit tail value against scipy
+    from scipy.special import log_ndtr
+
+    want_tail = log_ndtr(np.asarray(f, np.float64)).sum()
+    got_tail = float(probit_log_lik(f, yv))
+    assert abs(got_tail - want_tail) < 1e-2 * abs(want_tail)
+
+
+def test_gp_aux_slice_smoke():
+    """End-to-end: aux slice on a small GP target mixes and stays finite."""
+    from auxpm_tpu.core.state import init_chain_states
+    from auxpm_tpu.samplers.chain import run_chains
+    from auxpm_tpu.samplers.composite import make_aux_slice
+
+    x, y = load("pima", subsample=48)
+    target = make_gp_classification(x, y, n_importance=8)
+    states = init_chain_states(jax.random.key(4), target, 4, jitter_scale=0.2)
+    step = make_aux_slice(target)
+    states, recs, infos = run_chains(
+        step, states, {"slice_theta": {"widths": 1.0}}, 60
+    )
+    theta = np.asarray(recs["theta"])
+    assert np.isfinite(theta).all()
+    moved = np.any(np.diff(theta, axis=1) != 0, axis=-1).mean()
+    assert moved > 0.8, moved
+    assert np.isfinite(np.asarray(recs["log_lik_hat"])).all()

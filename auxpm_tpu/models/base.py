@@ -55,6 +55,11 @@ class Target:
     posterior_cov: Optional[jax.Array] = None
     prepare: Optional[Callable] = None
     log_lik_est_u: Optional[Callable] = None
+    # Optional: per-importance-sample log-weights ``(prepared, u) -> (S,)``
+    # with ``log_lik_est_u == logsumexp(log_weights_u) - log S``.  Lets the
+    # particle-sharding wrapper swap the local reduction for a collective
+    # psum-logsumexp (SURVEY.md §2.3 "TP -> particle parallelism").
+    log_weights_u: Optional[Callable] = None
 
     def log_joint(self, theta, u):
         """Unnormalised joint log density in (theta, u) minus the N(u;0,I)

@@ -63,12 +63,16 @@ def make_gaussian_toy(
             _LOG_2PI + jnp.log(jnp.asarray(prior_var, dtype))
         )
 
-    def log_lik_est(theta, u):
+    def log_weights_u(theta, u):
         # z_s = theta + A u_s ; w_s = N(y; z_s, sigma_n^2 I)
         z = theta[None, :] + u @ a_mat.T  # (S, d)
         sq = jnp.sum((y[None, :] - z) ** 2, axis=-1)  # (S,)
-        log_w = log_norm - 0.5 * sq / sigma_n2
-        return logsumexp(log_w, axis=0) - jnp.log(jnp.asarray(float(u.shape[0]), dtype))
+        return log_norm - 0.5 * sq / sigma_n2
+
+    def log_lik_est(theta, u):
+        return logsumexp(log_weights_u(theta, u), axis=0) - jnp.log(
+            jnp.asarray(float(u.shape[0]), dtype)
+        )
 
     # Closed-form posterior moments (float64 on host for accuracy).
     sy = np.asarray(sigma_y, np.float64)
@@ -90,4 +94,7 @@ def make_gaussian_toy(
         exact_log_post=exact_log_post,
         posterior_mean=jnp.asarray(mean, dtype),
         posterior_cov=jnp.asarray(cov, dtype),
+        prepare=lambda theta: theta,  # no theta-only precomputation to cache
+        log_lik_est_u=lambda theta, u: log_lik_est(theta, u),
+        log_weights_u=log_weights_u,
     )

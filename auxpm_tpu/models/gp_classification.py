@@ -82,10 +82,12 @@ def make_gp_classification(
             k = se_gram_iso(sqdist, log_ell, log_sigma, jitter)
         return jnp.linalg.cholesky(k)
 
-    def log_lik_est_u(chol, u):
+    def log_weights_u(chol, u):
         f = whiten(chol, u)  # (S, n) one MXU matmul
-        log_w = log_lik_fn(f, y[None, :])  # (S,)
-        return logsumexp(log_w, axis=0) - jnp.log(
+        return log_lik_fn(f, y[None, :])  # (S,)
+
+    def log_lik_est_u(chol, u):
+        return logsumexp(log_weights_u(chol, u), axis=0) - jnp.log(
             jnp.asarray(float(u.shape[0]), u.dtype)
         )
 
@@ -107,4 +109,5 @@ def make_gp_classification(
         name=name or f"gp_{likelihood}_n{n}",
         prepare=prepare,
         log_lik_est_u=log_lik_est_u,
+        log_weights_u=log_weights_u,
     )

@@ -1,0 +1,70 @@
+"""Device-mesh construction for the two parallel axes of this workload.
+
+SURVEY.md §2.3: the framework's parallelism maps onto a 2-D logical mesh
+
+- ``chains``   — data-parallel axis: independent MCMC chains; never
+  communicate except windowed adaptation reductions (BASELINE.json:10).
+- ``particles``— tensor-parallel axis: the S importance samples (or SMC
+  particles) of ONE estimate sharded across devices; the global logsumexp
+  is the collective (BASELINE.json:11).
+
+Multi-host bring-up is ``jax.distributed.initialize()`` before mesh
+construction; on a pod slice the same code spans hosts because the mesh is
+built from ``jax.devices()`` (all processes' devices).  Collectives ride ICI
+within a slice; the mesh-major ordering of ``mesh_utils`` keeps the
+``particles`` axis on the fastest links.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_chains_shards=None, n_particle_shards=1, devices=None):
+    """Build a ('chains', 'particles') mesh.
+
+    Defaults to all devices on the chains axis.  ``n_chains_shards`` may be
+    left None to mean "all devices / n_particle_shards".
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if n_chains_shards is None:
+        if n % n_particle_shards:
+            raise ValueError(f"{n} devices not divisible by {n_particle_shards}")
+        n_chains_shards = n // n_particle_shards
+    want = n_chains_shards * n_particle_shards
+    if want > n:
+        raise ValueError(
+            f"mesh {n_chains_shards}x{n_particle_shards} needs {want} devices, have {n}"
+        )
+    devices = devices.ravel()[:want]  # sub-mesh is fine (e.g. tests)
+    try:
+        dev_grid = mesh_utils.create_device_mesh(
+            (n_chains_shards, n_particle_shards), devices=list(devices.ravel())
+        )
+    except Exception:  # virtual CPU devices: no topology info
+        dev_grid = devices.reshape(-1)[:want].reshape(n_chains_shards, n_particle_shards)
+    return Mesh(dev_grid, ("chains", "particles"))
+
+
+def chain_sharding(mesh):
+    """NamedSharding for a batched ChainState: leading axis over 'chains'."""
+    return NamedSharding(mesh, P("chains"))
+
+
+def state_shardings(mesh, shard_particles=False):
+    """PartitionSpecs for (theta, u, log_lik_hat, key) of a batched state.
+
+    u has shape (chains, S, n): S over 'particles' when requested.
+    """
+    pu = P("chains", "particles", None) if shard_particles else P("chains")
+    return {
+        "theta": P("chains"),
+        "u": pu,
+        "log_lik_hat": P("chains"),
+        "key": P("chains"),
+    }

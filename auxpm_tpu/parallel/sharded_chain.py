@@ -1,0 +1,92 @@
+"""Mesh-sharded chain execution.
+
+BASELINE.json:10 (config 4): "4096 vectorized chains on GP posterior, chains
+sharded across hosts, global step-size/bracket adaptation via psum".
+
+Two modes over a ('chains', 'particles') mesh:
+
+- **DP only** (``shard_particles=False``): chains sharded over ALL devices;
+  the jitted scan runs under ``shard_map`` with every per-chain leaf split
+  on the chains axis.  Chains never communicate, so the compiled program
+  contains zero collectives — scaling is embarrassing by construction, and
+  the samples are bitwise-identical to the single-device run (tested:
+  mesh-shape invariance, SURVEY.md §4.6).
+
+- **DP + TP** (``shard_particles=True``): additionally, each chain's u
+  block (S, n) is split over the particles axis.  The transition must have
+  been built with ``particle_axis='particles'`` against a
+  ``shard_target_particles``-wrapped target; estimator reductions become
+  pmax/psum collectives inside the loop (see particle_shard.py).
+
+Everything — the n_steps scan included — lives inside one ``shard_map`` so
+steps never leave the device; the host sees only the final state and the
+thinned records.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from auxpm_tpu.core.state import ChainState
+from auxpm_tpu.samplers.chain import _scan_chain
+
+
+def state_pspec(shard_particles=False):
+    """PartitionSpec pytree for a batched ChainState."""
+    pu = P("chains", "particles") if shard_particles else P("chains")
+    return ChainState(
+        theta=P("chains"), u=pu, log_lik_hat=P("chains"), key=P("chains")
+    )
+
+
+def shard_states(states, mesh, shard_particles=False):
+    """Place a batched ChainState according to the mesh."""
+    spec = state_pspec(shard_particles)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        states,
+        spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("transition", "n_steps", "thin", "mesh", "shard_particles"),
+)
+def run_chains_sharded(
+    transition,
+    states: ChainState,
+    params: dict,
+    n_steps: int,
+    mesh,
+    thin: int = 1,
+    shard_particles: bool = False,
+):
+    """Sharded analogue of ``samplers.chain.run_chains`` (no u recording)."""
+    if n_steps % thin:
+        raise ValueError(f"n_steps={n_steps} not divisible by thin={thin}")
+    spec = state_pspec(shard_particles)
+    rec_spec = {"theta": P("chains"), "log_lik_hat": P("chains")}
+    info_spec = P("chains")
+
+    def local(states_local):
+        def per_chain(s):
+            return _scan_chain(
+                transition, s, params, n_steps, thin, record_u=False
+            )
+        return jax.vmap(per_chain)(states_local)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, rec_spec, info_spec),
+        check_vma=False,
+    )
+    return f(states)

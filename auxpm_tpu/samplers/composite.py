@@ -19,21 +19,30 @@ from auxpm_tpu.samplers.pm_mh import make_pm_mh
 from auxpm_tpu.samplers.slice_theta import make_slice_theta, make_slice_theta_rd
 
 
-def make_aux_slice(target):
+def make_aux_slice(target, particle_axis=None):
     return compose(
-        [("ess_u", make_ess_u(target)), ("slice_theta", make_slice_theta(target))]
+        [
+            ("ess_u", make_ess_u(target, particle_axis)),
+            ("slice_theta", make_slice_theta(target)),
+        ]
     )
 
 
-def make_aux_slice_rd(target):
+def make_aux_slice_rd(target, particle_axis=None):
     return compose(
-        [("ess_u", make_ess_u(target)), ("slice_theta", make_slice_theta_rd(target))]
+        [
+            ("ess_u", make_ess_u(target, particle_axis)),
+            ("slice_theta", make_slice_theta_rd(target)),
+        ]
     )
 
 
-def make_aux_mh(target):
+def make_aux_mh(target, particle_axis=None):
     return compose(
-        [("ess_u", make_ess_u(target)), ("mh_theta", make_mh_theta(target))]
+        [
+            ("ess_u", make_ess_u(target, particle_axis)),
+            ("mh_theta", make_mh_theta(target)),
+        ]
     )
 
 

@@ -37,11 +37,17 @@ from auxpm_tpu.core.state import ChainState
 _TWO_PI = 2.0 * jnp.pi
 
 
-def make_ess_u(target):
+def make_ess_u(target, particle_axis=None):
+    """``particle_axis``: mesh axis name when u is particle-sharded — the
+    u-shaped draw ``v`` must then differ per shard (fold in the axis index)
+    while every other draw stays replicated across the particle group."""
+
     def step(state: ChainState, params: dict):
         max_iters = params.get("max_iters", 32)
         key, k_v, k_h, k_loop = jax.random.split(state.key, 4)
 
+        if particle_axis is not None:
+            k_v = jax.random.fold_in(k_v, jax.lax.axis_index(particle_axis))
         v = jax.random.normal(k_v, state.u.shape, state.u.dtype)
         log_y = state.log_lik_hat + jnp.log(
             jax.random.uniform(k_h, (), state.u.dtype)

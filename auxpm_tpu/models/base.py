@@ -55,6 +55,10 @@ class Target:
     posterior_cov: Optional[jax.Array] = None
     prepare: Optional[Callable] = None
     log_lik_est_u: Optional[Callable] = None
+    # Optional exact prior sampler ``key -> theta`` — required by SMC, whose
+    # stage-0 population must be exact prior draws for the normalising
+    # constant telescage to estimate Z (tested against the toy's closed form).
+    sample_prior: Optional[Callable] = None
     # Optional: per-importance-sample log-weights ``(prepared, u) -> (S,)``
     # with ``log_lik_est_u == logsumexp(log_weights_u) - log S``.  Lets the
     # particle-sharding wrapper swap the local reduction for a collective

@@ -27,6 +27,7 @@ mean = Lambda^{-1} Sigma_y^{-1} y, cov = Lambda^{-1}.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,8 @@ def make_gaussian_toy(
         exact_log_post=exact_log_post,
         posterior_mean=jnp.asarray(mean, dtype),
         posterior_cov=jnp.asarray(cov, dtype),
+        sample_prior=lambda key: jnp.sqrt(jnp.asarray(prior_var, dtype))
+        * jax.random.normal(key, (d,), dtype),
         prepare=lambda theta: theta,  # no theta-only precomputation to cache
         log_lik_est_u=lambda theta, u: log_lik_est(theta, u),
         log_weights_u=log_weights_u,

@@ -110,4 +110,6 @@ def make_gp_classification(
         prepare=prepare,
         log_lik_est_u=log_lik_est_u,
         log_weights_u=log_weights_u,
+        sample_prior=lambda key: prior_mean
+        + prior_std * jax.random.normal(key, (n_theta,), dtype),
     )

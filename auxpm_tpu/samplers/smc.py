@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from auxpm_tpu.core.state import ChainState, init_chain_states
+from auxpm_tpu.core.state import ChainState
 from auxpm_tpu.parallel.resampling import systematic_resample_indices
 
 
@@ -158,13 +158,32 @@ def make_smc(
         states, infos = jax.vmap(one)(states)
         return states, beta_new, log_z_inc, infos
 
+    def _init_prior(key):
+        if target.sample_prior is None:
+            raise ValueError(
+                f"SMC needs target.sample_prior (target {target.name}): the "
+                "stage-0 population must be exact prior draws for logZ."
+            )
+        keys = jax.random.split(key, n_particles)
+
+        def one(k):
+            k_t, k_u, k_carry = jax.random.split(k, 3)
+            theta = target.sample_prior(k_t)
+            u = jax.random.normal(k_u, target.u_shape, theta.dtype)
+            return ChainState(
+                theta=theta,
+                u=u,
+                log_lik_hat=target.log_lik_est(theta, u),
+                key=k_carry,
+            )
+
+        return jax.vmap(one)(keys)
+
+    init_prior = jax.jit(_init_prior)
+
     def run(key, init_states=None, record=False):
         k_init, k_loop = jax.random.split(key)
-        states = (
-            init_chain_states(k_init, target, n_particles, jitter_scale=1.0)
-            if init_states is None
-            else init_states
-        )
+        states = init_prior(k_init) if init_states is None else init_states
         beta = jnp.asarray(0.0, states.theta.dtype)
         log_z = 0.0
         betas = [0.0]

@@ -1,0 +1,128 @@
+"""SMC correctness (BASELINE config 5 building blocks, SURVEY.md §4).
+
+- Adaptive tempering reaches beta=1; logZ matches the closed-form toy
+  evidence within MC error; final particles match posterior moments.
+- Systematic resampling: unbiasedness (counts ~ N w_i) and the distributed
+  shard_map implementation equals the single-device one bitwise.
+- NUTS rejuvenation variant runs and is exact on the toy.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from auxpm_tpu.models.gaussian_toy import make_gaussian_toy
+from auxpm_tpu.parallel.mesh import make_mesh
+from auxpm_tpu.parallel.resampling import (
+    distributed_systematic_resample_indices,
+    systematic_resample_indices,
+)
+from auxpm_tpu.samplers.composite import make_aux_nuts, make_aux_slice
+from auxpm_tpu.samplers.smc import ess_of_logw, make_smc, next_beta
+
+
+def _toy_log_evidence(target):
+    """Z = ∫ N(theta; 0, prior_var I) N(y; theta, Sigma_y) dtheta
+         = N(y; 0, prior_var I + Sigma_y)."""
+    # reconstruct from the target's closed-form pieces
+    prior_var = 4.0
+    y = np.array([1.0, -0.5])
+    sigma_y = np.array([[1.0, 0.4], [0.4, 0.8]])
+    c = prior_var * np.eye(2) + sigma_y
+    return float(
+        -0.5 * y @ np.linalg.solve(c, y)
+        - 0.5 * np.linalg.slogdet(2 * np.pi * c)[1]
+    )
+
+
+def test_systematic_resample_counts():
+    log_w = jnp.log(jnp.asarray([0.1, 0.4, 0.2, 0.3]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resample_indices(
+            log_w, jax.random.uniform(jax.random.key(i), ())
+        )
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    frac = counts / counts.sum()
+    np.testing.assert_allclose(frac, [0.1, 0.4, 0.2, 0.3], atol=0.02)
+
+
+def test_distributed_resample_matches_single_device():
+    n = 64
+    log_w = 3.0 * jax.random.normal(jax.random.key(1), (n,))
+    u01 = jnp.asarray(0.37)
+    want = np.asarray(systematic_resample_indices(log_w, u01))
+
+    mesh = make_mesh(n_chains_shards=1, n_particle_shards=8)
+    got = shard_map(
+        lambda w: distributed_systematic_resample_indices(w, u01, "particles"),
+        mesh=mesh,
+        in_specs=P("particles"),
+        out_specs=P("particles"),
+        check_vma=False,
+    )(log_w)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_next_beta_monotone_and_reaches_one():
+    ll = jax.random.normal(jax.random.key(2), (512,)) * 3.0
+    b1 = float(next_beta(ll, jnp.asarray(0.0), ess_frac=0.5))
+    assert 0.0 < b1 <= 1.0
+    b2 = float(next_beta(ll, jnp.asarray(b1), ess_frac=0.5))
+    assert b2 > b1
+    # nearly-flat weights: jump straight to 1
+    b3 = float(next_beta(0.001 * ll, jnp.asarray(0.0), ess_frac=0.5))
+    assert b3 == 1.0
+    # ESS at returned beta respects the threshold
+    e = float(ess_of_logw((b1 - 0.0) * ll))
+    assert e >= 0.5 * 512 * 0.95
+
+
+def test_smc_toy_evidence_and_moments():
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.5)
+    run = make_smc(target, make_aux_slice, n_particles=2048, n_mcmc=2)
+    states, diag = run(jax.random.key(3))
+    assert diag["betas"][-1] == 1.0
+    assert 2 <= diag["n_stages"] < 50
+
+    th = np.asarray(states.theta)
+    exp_mean = np.asarray(target.posterior_mean, np.float64)
+    exp_cov = np.asarray(target.posterior_cov, np.float64)
+    se = np.sqrt(np.diag(exp_cov) / 2048) * 4  # particles correlate a bit
+    assert np.all(np.abs(th.mean(0) - exp_mean) < 5 * se), (th.mean(0), exp_mean)
+    assert np.all(np.abs(th.var(0) - np.diag(exp_cov)) < 0.3 * np.diag(exp_cov))
+
+    logz_true = _toy_log_evidence(target)
+    assert abs(diag["log_z"] - logz_true) < 0.15, (diag["log_z"], logz_true)
+
+
+def test_smc_nuts_rejuvenation():
+    target = make_gaussian_toy(n_importance=8, noise_frac=0.5)
+    run = make_smc(target, make_aux_nuts, n_particles=512, n_mcmc=2)
+    states, diag = run(jax.random.key(4))
+    assert diag["betas"][-1] == 1.0
+    th = np.asarray(states.theta)
+    exp_mean = np.asarray(target.posterior_mean, np.float64)
+    assert np.all(np.abs(th.mean(0) - exp_mean) < 0.25), th.mean(0)
+
+
+def test_smc_sharded_matches_moments_and_logz():
+    """Sharded SMC (8 shards) on the toy: exact logZ + moments; stage
+    count/beta ladder sane."""
+    from auxpm_tpu.samplers.smc_sharded import make_smc_sharded
+
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.5)
+    mesh = make_mesh(n_chains_shards=8)
+    run = make_smc_sharded(target, make_aux_slice, n_particles=2048, mesh=mesh, n_mcmc=2)
+    states, diag = run(jax.random.key(3))
+    assert diag["betas"][-1] == 1.0
+    th = np.asarray(states.theta)
+    exp_mean = np.asarray(target.posterior_mean, np.float64)
+    exp_cov = np.asarray(target.posterior_cov, np.float64)
+    assert np.all(np.abs(th.mean(0) - exp_mean) < 0.15), th.mean(0)
+    assert np.all(np.abs(th.var(0) - np.diag(exp_cov)) < 0.3 * np.diag(exp_cov))
+    logz_true = _toy_log_evidence(target)
+    assert abs(diag["log_z"] - logz_true) < 0.2, (diag["log_z"], logz_true)

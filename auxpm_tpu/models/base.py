@@ -59,6 +59,16 @@ class Target:
     # stage-0 population must be exact prior draws for the normalising
     # constant telescage to estimate Z (tested against the toy's closed form).
     sample_prior: Optional[Callable] = None
+    # Optional per-coordinate slice-probe factories exploiting model
+    # structure: ``coord_estimators[i](theta, u) -> (f, f2)`` is called by
+    # the per-coordinate slice sampler right before updating coordinate i
+    # (theta = current full vector), returning probe functions
+    # ``f(x) -> (log_post, log_lik)`` and the 2-point batched ``f2``.
+    # GP isotropic example: chol(sigma²(R+eps I)) = sigma chol(R+eps I), so
+    # the log_sigma coordinate's probes skip the O(n³) factorisation
+    # entirely.  None -> the sampler uses the generic estimator for every
+    # coordinate.
+    coord_estimators: Optional[tuple] = None
     # Optional: per-importance-sample log-weights ``(prepared, u) -> (S,)``
     # with ``log_lik_est_u == logsumexp(log_weights_u) - log S``.  Lets the
     # particle-sharding wrapper swap the local reduction for a collective

@@ -1,0 +1,177 @@
+"""Batched Cholesky via a Pallas panel kernel — the framework's hot factor.
+
+Why: the GP estimator's per-probe cost is dominated by Cholesky of many
+medium (n ~ 500-1000) matrices, one per vmapped chain (SURVEY.md §3.4).
+XLA's TPU Cholesky reaches only ~500 GFLOP/s here because its sequential
+panel factorisation doesn't vectorise across the batch.  This kernel runs
+the unavoidable sequential part — the 128-wide panel factorisation — as ONE
+128-step loop whose per-step work covers the WHOLE batch tile in the VPU
+lanes, and simultaneously builds inv(L_panel) so the off-diagonal panel
+solve becomes a plain MXU GEMM in the blocked driver.
+
+Blocked right-looking driver (``cholesky_batched``):
+
+    for each 128-panel j:
+        L[j,j], inv(L[j,j])  <- Pallas kernel  (batch-vectorised loop)
+        L[i,j]   = A[i,j] @ inv(L[j,j])^T      (MXU GEMM)
+        A[tr,tr] -= L[tr,j] @ L[tr,j]^T        (MXU SYRK)
+
+All heavy FLOPs (n³/3) land on the MXU; the sequential depth is n steps
+total for the entire batch instead of n steps *per matrix*.
+
+Requires n % 128 == 0 (pad; see ``pad_gram`` — padding with identity keeps
+the factor exact and the extra rows are sliced away).  Falls back to
+``jnp.linalg.cholesky`` off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+BLK = 128
+
+
+def _chol_panel_kernel(a_ref, l_ref, linv_ref):
+    """Cholesky + inverse of a (Bt, 128, 128) SPD tile batch.
+
+    One fori_loop of 128 steps; each step does full-tile masked VPU ops over
+    the whole batch tile (the batch rides the vector lanes).
+    """
+    bt = a_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bt, BLK, BLK), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bt, BLK, BLK), 2)
+    rvec = jax.lax.broadcasted_iota(jnp.int32, (bt, BLK), 1)
+
+    # NOTE: no dynamic_slice in the Mosaic lowering — every per-k access is
+    # a masked full-tile reduction (the VPU touches full tiles per step
+    # regardless, so this costs nothing extra).
+    def body(k, carry):
+        a, l, linv = carry
+        # all intermediates kept rank>=2 (Mosaic layouts reject rank-1)
+        dk2 = jnp.sum(
+            jnp.where((rows == k) & (cols == k), a, 0.0), axis=2, keepdims=True
+        )  # (Bt, 128, 1) with the value at row k
+        dk2 = jnp.sum(dk2, axis=1, keepdims=True)  # (Bt, 1, 1) = a[:, k, k]
+        dk = jnp.sqrt(dk2)  # (Bt, 1, 1)
+        col_raw = jnp.sum(
+            jnp.where(cols == k, a, 0.0), axis=2, keepdims=True
+        )  # (Bt, 128, 1) = a[:, :, k]
+        rcol = rvec[:, :, None]  # (Bt, 128, 1)
+        col = jnp.where(rcol > k, col_raw / dk, 0.0)
+        col = jnp.where(rcol == k, dk, col)  # (Bt, 128, 1)
+
+        # store column k of L
+        l = jnp.where(cols == k, col, l)
+
+        # rank-1 update of the trailing submatrix
+        upd = col * jnp.swapaxes(col, 1, 2)  # (Bt, 128, 128)
+        mask = (rows > k) & (cols > k)
+        a = a - jnp.where(mask, upd, 0.0)
+
+        # forward substitution row k of inv(L):
+        #   x_k = (e_k - L[k, :k] @ X[:k, :]) / L[k,k]
+        lrow_full = jnp.sum(
+            jnp.where(rows == k, l, 0.0), axis=1, keepdims=True
+        )  # (Bt, 1, 128) = l[:, k, :]
+        lrow = jnp.where(rvec[:, None, :] < k, lrow_full, 0.0)
+        acc = jnp.sum(
+            jnp.swapaxes(lrow, 1, 2) * linv, axis=1, keepdims=True
+        )  # (Bt, 1, 128)
+        ek = (rvec[:, None, :] == k).astype(a.dtype)
+        xrow = (ek - acc) / dk  # (Bt, 1, 128)
+        linv = jnp.where(rows == k, xrow, linv)
+        return a, l, linv
+
+    a0 = a_ref[:]
+    z = jnp.zeros_like(a0)
+    _, l, linv = jax.lax.fori_loop(0, BLK, body, (a0, z, z))
+    l_ref[:] = l
+    linv_ref[:] = linv
+
+
+@functools.partial(jax.jit, static_argnames=("bt",))
+def chol_panel_batched(a, bt=8):
+    """(B, 128, 128) SPD -> (L, inv(L)), both lower-triangular, via Pallas."""
+    b = a.shape[0]
+    if b % bt:
+        bt = 1 if b < 8 else 8 if b % 8 == 0 else 1
+    grid = (b // bt,)
+    return pl.pallas_call(
+        _chol_panel_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, BLK, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, BLK, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, BLK, BLK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(a.shape, a.dtype),
+            jax.ShapeDtypeStruct(a.shape, a.dtype),
+        ),
+    )(a)
+
+
+def cholesky_batched(a, bt=8):
+    """Blocked batched Cholesky: (B, n, n) -> lower L, n % 128 == 0.
+
+    Panel factorisations via the Pallas kernel; solves and trailing updates
+    as MXU GEMMs.  ~n/128 kernel launches regardless of batch size.
+    """
+    n = a.shape[-1]
+    nb = n // BLK
+    if nb * BLK != n:
+        raise ValueError(f"n={n} must be a multiple of {BLK}; use pad_gram")
+    out = jnp.zeros_like(a)
+    for j in range(nb):
+        sl = slice(j * BLK, (j + 1) * BLK)
+        tr = slice((j + 1) * BLK, n)
+        ljj, linv = chol_panel_batched(a[..., sl, sl], bt)
+        out = out.at[..., sl, sl].set(ljj)
+        if j + 1 < nb:
+            pan = a[..., tr, sl]
+            lij = pan @ jnp.swapaxes(linv, -1, -2)  # MXU
+            out = out.at[..., tr, sl].set(lij)
+            a = a.at[..., tr, tr].add(-lij @ jnp.swapaxes(lij, -1, -2))  # MXU
+    return out
+
+
+def pad_gram(k, n_pad):
+    """Embed (B, n, n) SPD into (B, n_pad, n_pad) with identity padding:
+    chol([[K,0],[0,I]]) = [[chol(K),0],[0,I]] — exact, slice back rows."""
+    n = k.shape[-1]
+    if n == n_pad:
+        return k
+    b = k.shape[:-2]
+    out = jnp.zeros(b + (n_pad, n_pad), k.dtype)
+    out = out.at[..., :n, :n].set(k)
+    idx = jnp.arange(n, n_pad)
+    return out.at[..., idx, idx].set(1.0)
+
+
+def on_tpu():
+    return jax.default_backend() not in ("cpu",)
+
+
+def cholesky_fast(k, bt=8):
+    """Batched Cholesky of (..., n, n): Pallas blocked path on TPU (with
+    identity padding to 128 alignment), XLA elsewhere.  Returns (..., n, n)."""
+    if not on_tpu() or pltpu is None:
+        return jnp.linalg.cholesky(k)
+    n = k.shape[-1]
+    n_pad = -(-n // BLK) * BLK
+    batch = k.shape[:-2]
+    kk = k.reshape((-1,) + k.shape[-2:])
+    kk = pad_gram(kk, n_pad)
+    l = cholesky_batched(kk, bt)
+    return l[..., :n, :n].reshape(batch + (n, n))

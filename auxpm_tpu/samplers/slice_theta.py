@@ -9,12 +9,14 @@ which is a *deterministic* function of theta' because u is part of the chain
 state — the key property that turns the pseudo-marginal problem into a
 plain slice-sampling problem (Murray & Graham 2016 §4).  Two variants:
 
-- ``make_slice_theta``: per-coordinate updates, coordinate loop unrolled
-  (d is small: 2-10 hyperparameters), each with its own width ``w_i``.
+- ``make_slice_theta``: per-coordinate updates via a ``fori_loop`` over
+  coordinates (dynamic coordinate index -> the estimator graph is traced
+  ONCE, not d times — compile time through the tunneled TPU backend scales
+  with the number of estimator instantiations), each coordinate with its
+  own width ``w_i``.
 - ``make_slice_theta_rd``: one update along a random unit direction.
 
-Algorithm per 1-D update (Neal 2003 §4, "stepping out" fig. 3 + "shrinkage"
-fig. 5):
+Algorithm per 1-D update (Neal 2003 §4 "stepping out" + §5 "shrinkage"):
 
     log_y = f(theta) + log U
     l = x0 - w U1; r = l + w
@@ -24,11 +26,14 @@ fig. 5):
             if f(x) > log_y: accept
             elif x < x0: l = x else r = x         (shrink)
 
-TPU design: each while becomes a bounded ``lax.while_loop``; every probe
-pays one full estimator evaluation (the dominant cost, SURVEY.md §3.1), and
-under ``vmap`` all chains advance the same compiled loop with automatic
-per-lane termination masks.  Shrinkage terminates a.s.; on cap-hit the
-coordinate keeps its current value (exact no-op).
+TPU design notes:
+- both step-out ends are probed in ONE batched estimator call per
+  iteration (vmap over the 2 endpoints): half the sequential depth, and
+  one estimator instantiation for the whole step-out loop;
+- every loop is a bounded ``lax.while_loop``; under ``vmap`` all chains
+  advance the same compiled loop with automatic per-lane termination;
+- shrinkage terminates a.s.; on cap-hit the coordinate keeps its current
+  value (exact no-op), matching the NumPy oracle bit-for-bit.
 
 Params:
   widths: scalar or (d,) initial bracket width w.
@@ -44,11 +49,12 @@ import jax.numpy as jnp
 from auxpm_tpu.core.state import ChainState
 
 
-def _slice_1d(key, x0, log_fx0, f, w, max_step_out, max_shrink, dtype):
+def _slice_1d(key, x0, log_fx0, f, f2, w, max_step_out, max_shrink, dtype):
     """One 1-D slice update along scalar coordinate value ``x0``.
 
-    ``f(x) -> (log_post, log_lik)``; log_fx0 is f(x0)[0] (cached).
-    Returns (x_new, log_post_new, log_lik_new, n_probe).
+    ``f(x) -> (log_post, log_lik)``; ``f2(xs) -> (log_posts, log_liks)`` is
+    the 2-point batched version (step-out probes); log_fx0 = f(x0)[0].
+    Returns (x_new, log_post_new, log_lik_new, done, n_probe).
     """
     k_h, k_init, k_loop = jax.random.split(key, 3)
     log_y = log_fx0 + jnp.log(jax.random.uniform(k_h, (), dtype))
@@ -57,21 +63,16 @@ def _slice_1d(key, x0, log_fx0, f, w, max_step_out, max_shrink, dtype):
     l0 = x0 - w * u1
     r0 = l0 + w
 
-    def probe(x):
-        lp, ll = f(x)
-        return lp, ll
-
-    # --- step out (left and right run in the same bounded loop) ---
+    # --- step out: probe both ends in one batched estimator call ---
     def so_cond(carry):
         l, r, i, expand_l, expand_r = carry
         return jnp.logical_and(i < max_step_out, jnp.logical_or(expand_l, expand_r))
 
     def so_body(carry):
         l, r, i, expand_l, expand_r = carry
-        lp_l, _ = probe(l)
-        lp_r, _ = probe(r)
-        expand_l = jnp.logical_and(expand_l, lp_l > log_y)
-        expand_r = jnp.logical_and(expand_r, lp_r > log_y)
+        lps, _ = f2(jnp.stack([l, r]))
+        expand_l = jnp.logical_and(expand_l, lps[0] > log_y)
+        expand_r = jnp.logical_and(expand_r, lps[1] > log_y)
         l = jnp.where(expand_l, l - w, l)
         r = jnp.where(expand_r, r + w, r)
         return l, r, i + 1, expand_l, expand_r
@@ -89,7 +90,7 @@ def _slice_1d(key, x0, log_fx0, f, w, max_step_out, max_shrink, dtype):
         i, l, r, x, lp, ll, done = carry
         kx = jax.random.fold_in(k_loop, i)
         x_new = l + (r - l) * jax.random.uniform(kx, (), dtype)
-        lp_new, ll_new = probe(x_new)
+        lp_new, ll_new = f(x_new)
         ok = lp_new > log_y
         l = jnp.where(jnp.logical_or(ok, x_new >= x0), l, x_new)
         r = jnp.where(jnp.logical_or(ok, x_new < x0), r, x_new)
@@ -110,7 +111,7 @@ def _slice_1d(key, x0, log_fx0, f, w, max_step_out, max_shrink, dtype):
 
 
 def make_slice_theta(target):
-    """Per-coordinate slice sampling of theta | u."""
+    """Per-coordinate slice sampling of theta | u (coordinates scanned)."""
 
     def step(state: ChainState, params: dict):
         widths = jnp.broadcast_to(
@@ -121,33 +122,75 @@ def make_slice_theta(target):
         max_shrink = params.get("max_shrink", 32)
         dtype = state.theta.dtype
 
-        key, *coord_keys = jax.random.split(state.key, state.theta.shape[0] + 1)
+        key, *coord_keys = jax.random.split(state.key, target.d + 1)
+        coord_keys_arr = jnp.stack(coord_keys)
 
-        theta = state.theta
-        log_lik = state.log_lik_hat
-        log_post = target.log_prior(theta) + log_lik
-        n_probe_total = jnp.float32(0.0)
+        theta0 = state.theta
+        log_lik0 = state.log_lik_hat
+        log_post0 = target.log_prior(theta0) + log_lik0
 
-        for i in range(target.d):  # d is small & static: unrolled
-            def f(x, i=i, theta=theta):
-                th = theta.at[i].set(x)
-                ll = target.log_lik_est(th, state.u)
-                return target.log_prior(th) + ll, ll
+        if target.coord_estimators is not None:
+            # structure-aware path: per-coordinate probe factories (e.g. the
+            # GP's Cholesky-free log_sigma coordinate) — unrolled over the
+            # (small) coordinate count.
+            theta, log_post, log_lik = theta0, log_post0, log_lik0
+            n_probe_total = jnp.float32(0.0)
+            for i, factory in enumerate(target.coord_estimators):
+                f, f2 = factory(theta, state.u)
+                x_new, lp_new, ll_new, done, n_probe = _slice_1d(
+                    coord_keys[i],
+                    theta[i],
+                    log_post,
+                    f,
+                    f2,
+                    widths[i],
+                    max_step_out,
+                    max_shrink,
+                    dtype,
+                )
+                theta = theta.at[i].set(x_new)
+                log_post = lp_new
+                log_lik = jnp.where(done, ll_new, log_lik)
+                n_probe_total = n_probe_total + n_probe
+        else:
 
-            x_new, lp_new, ll_new, done, n_probe = _slice_1d(
-                coord_keys[i],
-                theta[i],
-                log_post,
-                f,
-                widths[i],
-                max_step_out,
-                max_shrink,
-                dtype,
+            def coord_body(i, carry):
+                theta, log_post, log_lik, n_probe_total = carry
+
+                def f(x):
+                    th = theta.at[i].set(x)
+                    ll = target.log_lik_est(th, state.u)
+                    return target.log_prior(th) + ll, ll
+
+                def f2(xs):  # (2,) batched probe
+                    def g(x):
+                        th = theta.at[i].set(x)
+                        ll = target.log_lik_est(th, state.u)
+                        return target.log_prior(th) + ll, ll
+
+                    return jax.vmap(g)(xs)
+
+                x_new, lp_new, ll_new, done, n_probe = _slice_1d(
+                    coord_keys_arr[i],
+                    theta[i],
+                    log_post,
+                    f,
+                    f2,
+                    widths[i],
+                    max_step_out,
+                    max_shrink,
+                    dtype,
+                )
+                theta = theta.at[i].set(x_new)
+                log_lik = jnp.where(done, ll_new, log_lik)
+                return theta, lp_new, log_lik, n_probe_total + n_probe
+
+            theta, log_post, log_lik, n_probe_total = jax.lax.fori_loop(
+                0,
+                target.d,
+                coord_body,
+                (theta0, log_post0, log_lik0, jnp.float32(0.0)),
             )
-            theta = theta.at[i].set(x_new)
-            log_post = lp_new
-            log_lik = jnp.where(done, ll_new, log_lik)
-            n_probe_total = n_probe_total + n_probe
 
         new_state = state.replace(theta=theta, log_lik_hat=log_lik, key=key)
         info = {"n_probe": n_probe_total}
@@ -178,11 +221,15 @@ def make_slice_theta_rd(target):
             ll = target.log_lik_est(th, state.u)
             return target.log_prior(th) + ll, ll
 
+        def f2(ts):
+            return jax.vmap(f)(ts)
+
         t_new, lp_new, ll_new, done, n_probe = _slice_1d(
             k_slice,
             jnp.asarray(0.0, dtype),
             log_post0,
             f,
+            f2,
             width,
             max_step_out,
             max_shrink,

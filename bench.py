@@ -1,0 +1,163 @@
+"""Benchmark: ESS/sec per chip on the GP-classification posterior.
+
+BASELINE primary metric (BASELINE.json:2) on config 2 (Pima 532 pts,
+auxiliary PM slice sampling, S=64 importance samples per step).
+
+Protocol:
+- TPU side: adapt slice widths briefly, then run ``CHAINS`` vmapped chains
+  for ``STEPS`` steps of the aux-slice kernel in ONE compiled scan; wall
+  time via block_until_ready; ESS computed per chain-dimension with the
+  Geyer estimator and summed over chains.
+- Baseline side: the reference repo publishes no numbers and the mount is
+  empty (BASELINE.md), so the CPU reference is the in-repo pure-NumPy
+  oracle (tests/oracle/, same algorithm, same dataset, same S) run for a
+  short timed stretch.  Because both sides run the *identical* kernel, the
+  per-step ESS measured on the long TPU run transfers; CPU ESS/sec =
+  per-step-ESS x oracle steps/sec.  (+ the native C++ Gram kernel when
+  built, making the baseline as fast as the reference's Cython path.)
+
+Prints ONE JSON line:
+  {"metric": "ess_per_sec_per_chip", "value": ..., "unit": "ESS/s",
+   "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# ensure repo root importable when invoked as `python bench.py` elsewhere
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+# persistent compilation cache: the aux-slice scan is a large program and
+# the tunneled backend compiles remotely; caching saves minutes per run
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+CHAINS = int(os.environ.get("BENCH_CHAINS", 128))
+STEPS = int(os.environ.get("BENCH_STEPS", 600))
+WARM_STEPS = int(os.environ.get("BENCH_WARM", 100))
+ORACLE_STEPS = int(os.environ.get("BENCH_ORACLE_STEPS", 15))
+S = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from auxpm_tpu.core.state import init_chain_states
+    from auxpm_tpu.models.datasets import load
+    from auxpm_tpu.models.gp_classification import make_gp_classification
+    from auxpm_tpu.samplers.adaptation import adapt_params
+    from auxpm_tpu.samplers.chain import run_chains
+    from auxpm_tpu.samplers.composite import make_aux_slice
+    from auxpm_tpu.utils.diagnostics import effective_sample_size
+
+    log(f"devices: {jax.devices()}")
+    x, y = load("pima")
+    target = make_gp_classification(x, y, n_importance=S)
+    step = make_aux_slice(target)
+
+    import jax.numpy as jnp
+
+    states = init_chain_states(jax.random.key(0), target, CHAINS, jitter_scale=0.3)
+    # widths as a (d,) array from the start: adaptation returns an array, and
+    # a scalar->array params change would retrigger compilation mid-benchmark
+    params = {
+        "slice_theta": {"widths": jnp.ones((target.d,), jnp.float32)},
+        "ess_u": {},
+    }
+
+    # adaptation windows (not timed): repeated so the slice widths settle to
+    # ~2x the true posterior std — the probe count per step (the dominant
+    # cost: every probe is a Gram+Cholesky) drops with converged widths
+    t0 = time.time()
+    for w in range(3):
+        states, recs, infos = run_chains(step, states, params, WARM_STEPS)
+        jax.block_until_ready(states.theta)
+        params = adapt_params(params, recs, infos)
+        log(
+            f"warmup window {w}: cum {time.time()-t0:.1f}s; widths -> "
+            f"{np.asarray(params['slice_theta']['widths'])}; probes "
+            f"{float(np.asarray(infos['slice_theta/n_probe']).mean()):.1f}"
+        )
+
+    # timed run in WARM_STEPS-sized chunks (a single very long dispatch can
+    # trip the tunneled device's watchdog; chunking also matches how the
+    # windowed production runner dispatches) — same compiled executable.
+    n_chunks = max(STEPS // WARM_STEPS, 1)
+    thetas, infos_list = [], []
+    t0 = time.time()
+    for ci in range(n_chunks):
+        states, recs, infos = run_chains(step, states, params, WARM_STEPS)
+        thetas.append(recs["theta"])
+        infos_list.append(infos)
+        jax.block_until_ready(recs["theta"])
+        log(f"chunk {ci}: cum {time.time()-t0:.1f}s")
+    wall = time.time() - t0
+
+    theta = np.concatenate([np.asarray(t) for t in thetas], axis=1)
+    infos = {k: np.concatenate([np.asarray(i[k]) for i in infos_list], axis=1)
+             for k in infos_list[0]}
+    steps_done = theta.shape[1]
+    ess = effective_sample_size(theta)  # (d,) combined over chains
+    ess_min = float(np.min(ess))
+    ess_per_sec = ess_min / wall
+    per_step_ess = ess_min / (CHAINS * steps_done)
+    steps_per_sec_tpu = CHAINS * steps_done / wall
+    log(
+        f"TPU: {wall:.2f}s for {CHAINS}x{STEPS} steps; ESS(min-dim) {ess_min:.0f}; "
+        f"{ess_per_sec:.1f} ESS/s; {steps_per_sec_tpu:.0f} chain-steps/s; "
+        f"probes/step {float(np.asarray(infos['slice_theta/n_probe']).mean()):.1f}"
+    )
+
+    # ---- CPU oracle baseline ----
+    from tests.oracle.np_gp import NumpyGPTarget
+    from tests.oracle.oracle import NumpyDraws, OracleState, ess_update_u, slice_update_theta
+
+    oracle = NumpyGPTarget(x, y, n_importance=S)
+    log(f"oracle native gram: {oracle.use_native}")
+    rng = np.random.default_rng(0)
+    widths = np.asarray(params["slice_theta"]["widths"], np.float64)
+    st = OracleState(
+        np.zeros(2), rng.standard_normal(oracle.u_shape), 0.0
+    )
+    st.log_lik_hat = oracle.log_lik_est(st.theta, st.u)
+    draws = NumpyDraws(rng)
+    # warm (not timed): 2 steps
+    for _ in range(2):
+        st, _ = ess_update_u(st, oracle, draws)
+        st, _ = slice_update_theta(st, oracle, widths, draws)
+    t0 = time.time()
+    for _ in range(ORACLE_STEPS):
+        st, _ = ess_update_u(st, oracle, draws)
+        st, _ = slice_update_theta(st, oracle, widths, draws)
+    wall_cpu = time.time() - t0
+    steps_per_sec_cpu = ORACLE_STEPS / wall_cpu
+    ess_per_sec_cpu = per_step_ess * steps_per_sec_cpu
+    log(
+        f"CPU oracle: {wall_cpu:.2f}s for {ORACLE_STEPS} steps; "
+        f"{steps_per_sec_cpu:.2f} steps/s -> {ess_per_sec_cpu:.2f} ESS/s"
+    )
+
+    vs = ess_per_sec / max(ess_per_sec_cpu, 1e-12)
+    print(
+        json.dumps(
+            {
+                "metric": "ess_per_sec_per_chip",
+                "value": round(ess_per_sec, 2),
+                "unit": "ESS/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

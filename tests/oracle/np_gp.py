@@ -52,11 +52,12 @@ class NumpyGPTarget:
         )
 
     def gram(self, theta):
+        # relative nugget, matching the JAX target: K = sigma²(R + jitter I)
         log_ell, log_sigma = float(theta[0]), float(theta[1])
         if self.use_native:
             return se_gram_iso_native(self.sqdist, log_ell, log_sigma, self.jitter)
         k = np.exp(2.0 * log_sigma - self.sqdist * (0.5 * np.exp(-2.0 * log_ell)))
-        k[np.diag_indices(self.n)] += self.jitter
+        k[np.diag_indices(self.n)] += self.jitter * np.exp(2.0 * log_sigma)
         return k
 
     def prepare(self, theta):

@@ -61,7 +61,7 @@ def test_cholesky_roundtrip_and_whitening_covariance():
 
 def test_gp_estimator_matches_numpy_oracle():
     x, y = load("pima", subsample=64)
-    target = make_gp_classification(x, y, n_importance=16)
+    target = make_gp_classification(x, y, n_importance=16, pad_to_tiles=False)
     oracle = NumpyGPTarget(x, y, n_importance=16, use_native=False)
 
     theta = np.array([0.2, -0.1], np.float32)
@@ -77,7 +77,7 @@ def test_gp_estimator_matches_numpy_oracle():
 
 def test_probit_matches_oracle_and_likelihood_stability():
     x, y = load("pima", subsample=32)
-    target = make_gp_classification(x, y, n_importance=8, likelihood="probit")
+    target = make_gp_classification(x, y, n_importance=8, likelihood="probit", pad_to_tiles=False)
     oracle = NumpyGPTarget(x, y, n_importance=8, likelihood="probit", use_native=False)
     theta = np.array([0.0, 0.3], np.float32)
     u = np.asarray(jax.random.normal(jax.random.key(3), target.u_shape))
@@ -116,3 +116,26 @@ def test_gp_aux_slice_smoke():
     moved = np.any(np.diff(theta, axis=1) != 0, axis=-1).mean()
     assert moved > 0.8, moved
     assert np.isfinite(np.asarray(recs["log_lik_hat"])).all()
+
+
+def test_coord_estimator_factories_match_generic():
+    """The structure-aware per-coordinate probe functions (Cholesky-free
+    log_sigma path) must agree with the generic estimator."""
+    x, y = load("pima", subsample=48)
+    target = make_gp_classification(x, y, n_importance=8)
+    u = jax.random.normal(jax.random.key(7), target.u_shape)
+    theta = jnp.asarray([0.15, -0.25])
+
+    for i, factory in enumerate(target.coord_estimators):
+        f, f2 = factory(theta, u)
+        for xv in (-0.5, 0.1, 0.7):
+            th = theta.at[i].set(xv)
+            want_ll = float(target.log_lik_est(th, u))
+            lp, ll = f(jnp.asarray(xv))
+            assert abs(float(ll) - want_ll) < 1e-3 + 1e-4 * abs(want_ll), (
+                i, xv, float(ll), want_ll,
+            )
+            want_lp = float(target.log_prior(th)) + want_ll
+            assert abs(float(lp) - want_lp) < 1e-3 + 1e-4 * abs(want_lp)
+        lps, lls = f2(jnp.asarray([0.0, 0.3]))
+        assert lps.shape == (2,)

@@ -83,7 +83,7 @@ def test_nuts_depth_scales_with_step():
 
 def test_gp_estimator_gradient_matches_fd():
     x, y = load("pima", subsample=32)
-    target = make_gp_classification(x, y, n_importance=8)
+    target = make_gp_classification(x, y, n_importance=8)  # padded: grads flow through masked path
     u = jax.random.normal(jax.random.key(4), target.u_shape)
     theta = jnp.asarray([0.2, -0.1])
 

@@ -58,5 +58,11 @@ def shard_target_particles(target, axis_name="particles"):
         target,
         log_lik_est=log_lik_est,
         log_lik_est_u=log_lik_est_u,
+        # structure-aware coordinate probes close over the UNSHARDED
+        # estimator; keeping them here would give per-shard inconsistent
+        # likelihoods -> divergent loop trip counts inside the particle
+        # group -> collective mismatch (observed as a runtime abort).  The
+        # generic path below uses the wrapped psum estimator.
+        coord_estimators=None,
         name=f"{target.name}@{axis_name}",
     ), s_global_static

@@ -34,7 +34,17 @@ def compose(named_transitions: Sequence[tuple[str, Transition]]) -> Transition:
     only their own sub-dict (missing -> {}).
     """
 
+    stage_names = [name for name, _ in named_transitions]
+
     def composed(state: ChainState, params: dict):
+        unknown = set(params) - set(stage_names)
+        if unknown:
+            # typo'd group names would otherwise be silently ignored and the
+            # stage would run on defaults
+            raise ValueError(
+                f"unknown param group(s) {sorted(unknown)}; stages are "
+                f"{stage_names}"
+            )
         info_all = {}
         for name, t in named_transitions:
             state, info = t(state, params.get(name, {}))
@@ -42,6 +52,7 @@ def compose(named_transitions: Sequence[tuple[str, Transition]]) -> Transition:
                 info_all[f"{name}/{k}"] = v
         return state, info_all
 
+    composed.stage_names = tuple(stage_names)
     return composed
 
 

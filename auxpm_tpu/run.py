@@ -1,0 +1,198 @@
+"""CLI entry point.
+
+    python -m auxpm_tpu.run --preset pima_aux_slice --chains 256 --steps 2000
+    python -m auxpm_tpu.run --preset smc_gp_nuts --particles 65536
+    python -m auxpm_tpu.run --list-presets
+
+Replaces the reference's "run this notebook" workflow (SURVEY.md §1 L4) with
+a config-driven driver: warmup windows with global adaptation, a main run
+with windowed metrics + optional checkpointing, posterior summaries and
+ESS/sec on exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    from auxpm_tpu.utils.config import PRESETS, RunConfig
+
+    p = argparse.ArgumentParser(prog="auxpm_tpu.run", description=__doc__)
+    p.add_argument("--preset", default="toy_pm_mh", choices=sorted(PRESETS))
+    p.add_argument("--list-presets", action="store_true")
+    for f in dataclasses.fields(RunConfig):
+        if f.name == "preset":
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type in ("bool", bool):
+            p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None)
+        elif f.type in ("int", int, "Optional[int]"):
+            p.add_argument(arg, type=int, default=None)
+        elif f.type in ("float", float):
+            p.add_argument(arg, type=float, default=None)
+        else:
+            p.add_argument(arg, type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from auxpm_tpu.utils.config import PRESETS, build_target, initial_params
+
+    if args.list_presets:
+        for name, cfg in sorted(PRESETS.items()):
+            print(f"{name}: {cfg}")
+        return 0
+
+    cfg = PRESETS[args.preset]
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if k not in ("preset", "list_presets") and v is not None
+    }
+    cfg = cfg.replace(**overrides)
+
+    import jax
+
+    from auxpm_tpu.core.state import init_chain_states
+    from auxpm_tpu.samplers.adaptation import adapt_params
+    from auxpm_tpu.samplers.chain import run_chains
+    from auxpm_tpu.samplers.composite import SAMPLERS
+    from auxpm_tpu.utils.checkpoint import save_checkpoint
+    from auxpm_tpu.utils.diagnostics import effective_sample_size, potential_scale_reduction
+    from auxpm_tpu.utils.metrics import MetricsWriter, logger
+
+    logger.info(f"preset={cfg.preset} devices={jax.devices()}")
+    target = build_target(cfg)
+    metrics = MetricsWriter(cfg.metrics_path)
+    key = jax.random.key(cfg.seed)
+
+    if cfg.sampler == "smc":
+        return _run_smc(cfg, target, metrics, key)
+
+    params = initial_params(cfg, target)
+    states = init_chain_states(key, target, cfg.chains, jitter_scale=cfg.jitter_scale)
+
+    if cfg.sharded:
+        from auxpm_tpu.parallel.mesh import make_mesh
+        from auxpm_tpu.parallel.sharded_chain import run_chains_sharded, shard_states
+
+        mesh = make_mesh(n_particle_shards=cfg.particle_shards)
+        states = shard_states(states, mesh)
+        step = SAMPLERS[cfg.sampler](target)
+
+        def run_fn(s, p, n):
+            return run_chains_sharded(step, s, p, n, mesh)
+
+    else:
+        step = SAMPLERS[cfg.sampler](target)
+
+        def run_fn(s, p, n):
+            return run_chains(step, s, p, n, thin=cfg.thin)
+
+    # warmup with global adaptation
+    t0 = time.time()
+    for w in range(cfg.warmup_windows):
+        states, recs, infos = run_fn(states, params, cfg.window_steps)
+        jax.block_until_ready(states.theta)
+        params = adapt_params(params, recs, infos)
+        metrics.write(
+            {"phase": "warmup", "window": w,
+             **{k: float(np.asarray(v).mean()) for k, v in infos.items()}}
+        )
+    logger.info(f"warmup done in {time.time()-t0:.1f}s; params={params}")
+
+    # main run, windowed
+    all_theta = []
+    t0 = time.time()
+    n_windows = max(cfg.steps // cfg.window_steps, 1)
+    for w in range(n_windows):
+        states, recs, infos = run_fn(states, params, cfg.window_steps)
+        theta = np.asarray(recs["theta"])
+        all_theta.append(theta)
+        metrics.write(
+            {"phase": "sample", "window": w,
+             "wall": round(time.time() - t0, 2),
+             "log_lik_mean": float(np.asarray(recs["log_lik_hat"]).mean()),
+             **{k: float(np.asarray(v).mean()) for k, v in infos.items()}}
+        )
+        if cfg.checkpoint_dir and cfg.checkpoint_every and (
+            (w + 1) % cfg.checkpoint_every == 0
+        ):
+            save_checkpoint(
+                cfg.checkpoint_dir, states, step=(w + 1) * cfg.window_steps,
+                config=dataclasses.asdict(cfg),
+            )
+    wall = time.time() - t0
+
+    theta = np.concatenate(all_theta, axis=1)  # (chains, steps, d)
+    ess = effective_sample_size(theta)
+    rhat = potential_scale_reduction(theta)
+    summary = {
+        "phase": "summary",
+        "wall": round(wall, 2),
+        "chain_steps_per_sec": round(theta.shape[0] * theta.shape[1] / wall, 1),
+        "posterior_mean": np.round(theta.reshape(-1, theta.shape[-1]).mean(0), 4).tolist(),
+        "posterior_std": np.round(theta.reshape(-1, theta.shape[-1]).std(0), 4).tolist(),
+        "ess": np.round(np.atleast_1d(ess), 1).tolist(),
+        "ess_per_sec": round(float(np.min(ess)) / wall, 2),
+        "rhat": np.round(np.atleast_1d(rhat), 4).tolist(),
+    }
+    metrics.write(summary)
+    print(json.dumps(summary))
+    if cfg.out:
+        np.savez(cfg.out, theta=theta)
+        logger.info(f"chains saved to {cfg.out}")
+    return 0
+
+
+def _run_smc(cfg, target, metrics, key):
+    import jax
+
+    from auxpm_tpu.samplers.composite import SAMPLERS
+    from auxpm_tpu.samplers.smc import make_smc
+
+    rejuv = SAMPLERS[cfg.smc_rejuvenation]
+    if cfg.sharded:
+        from auxpm_tpu.parallel.mesh import make_mesh
+        from auxpm_tpu.samplers.smc_sharded import make_smc_sharded
+
+        mesh = make_mesh(n_particle_shards=1)
+        run = make_smc_sharded(
+            target, rejuv, cfg.particles, mesh,
+            n_mcmc=cfg.smc_n_mcmc, ess_frac=cfg.smc_ess_frac,
+        )
+    else:
+        run = make_smc(
+            target, rejuv, cfg.particles,
+            n_mcmc=cfg.smc_n_mcmc, ess_frac=cfg.smc_ess_frac,
+        )
+    t0 = time.time()
+    states, diag = run(key)
+    wall = time.time() - t0
+    theta = np.asarray(states.theta)
+    summary = {
+        "phase": "smc_summary",
+        "wall": round(wall, 2),
+        "n_stages": diag["n_stages"],
+        "log_z": round(diag["log_z"], 4),
+        "betas": [round(b, 4) for b in diag["betas"]],
+        "posterior_mean": np.round(theta.mean(0), 4).tolist(),
+        "posterior_std": np.round(theta.std(0), 4).tolist(),
+    }
+    metrics.write(summary)
+    print(json.dumps(summary))
+    if cfg.out:
+        np.savez(cfg.out, theta=theta)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

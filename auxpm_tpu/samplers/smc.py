@@ -143,6 +143,8 @@ def make_smc(
 
         t_beta = tempered_target(target, beta_new)
         transition = make_rejuvenation(t_beta)
+        if hasattr(transition, "stage_names"):
+            params = {k: v for k, v in params.items() if k in transition.stage_names}
 
         def one(s):
             # state carries tempered ll for the kernel, untempered outside

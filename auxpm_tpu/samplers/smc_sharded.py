@@ -123,6 +123,8 @@ def make_smc_sharded(
 
         t_beta = tempered_target(target, beta_new)
         transition = make_rejuvenation(t_beta)
+        if hasattr(transition, "stage_names"):
+            params = {k: v for k, v in params.items() if k in transition.stage_names}
 
         def one(s):
             s = s.replace(log_lik_hat=beta_new * s.log_lik_hat)

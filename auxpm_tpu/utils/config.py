@@ -1,0 +1,176 @@
+"""Typed run configuration + registered presets for the BASELINE configs.
+
+The reference hardcodes constants in notebooks (SURVEY.md §5 "Config / flag
+system"); here every experiment is a ``RunConfig`` dataclass with one
+registered preset per BASELINE.json config 1-5, overridable from the CLI
+(``python -m auxpm_tpu.run --preset pima_aux_slice --chains 4096``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class RunConfig:
+    preset: str = "toy_pm_mh"
+    # target
+    target: str = "gaussian_toy"  # gaussian_toy | gp
+    dataset: str = "pima"  # gp only: pima | breast_cancer | abalone
+    n_importance: int = 16
+    likelihood: str = "logistic"
+    ard: bool = False
+    subsample: Optional[int] = None
+    noise_frac: float = 0.3  # toy only
+    # sampler
+    sampler: str = "pm_mh"  # key into samplers.composite.SAMPLERS, or "smc"
+    chains: int = 4
+    steps: int = 1000
+    thin: int = 1
+    warmup_windows: int = 3
+    window_steps: int = 100
+    step_size: float = 0.5
+    widths: float = 1.0
+    nuts_step_size: float = 0.3
+    # SMC
+    particles: int = 4096
+    smc_rejuvenation: str = "aux_slice"  # aux_slice | aux_nuts | aux_hmc
+    smc_n_mcmc: int = 2
+    smc_ess_frac: float = 0.5
+    # parallel
+    sharded: bool = False
+    particle_shards: int = 1
+    # misc
+    seed: int = 0
+    jitter_scale: float = 0.3
+    metrics_path: Optional[str] = None
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # windows; 0 = off
+    out: Optional[str] = None
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+# One preset per BASELINE.json configs[0..4] (BASELINE.md table), plus the
+# third config's second dataset as its own preset.
+PRESETS = {
+    # config 1: "2D Gaussian target, PM-MH with 16 importance samples, 4
+    # chains (CPU-runnable PR1 ref)"
+    "toy_pm_mh": RunConfig(
+        preset="toy_pm_mh",
+        target="gaussian_toy",
+        n_importance=16,
+        sampler="pm_mh",
+        chains=4,
+        steps=5000,
+        step_size=0.6,
+    ),
+    # config 2: "GP classification on Pima (532 pts), auxiliary PM slice
+    # sampling, 64 importance samples per step"
+    "pima_aux_slice": RunConfig(
+        preset="pima_aux_slice",
+        target="gp",
+        dataset="pima",
+        n_importance=64,
+        sampler="aux_slice",
+        chains=128,
+        steps=1000,
+        widths=1.0,
+    ),
+    # config 3: "GP classification Breast-Cancer + Abalone, whitened
+    # elliptical-slice auxiliary updates, hyperparameter sampling"
+    "breast_cancer_aux": RunConfig(
+        preset="breast_cancer_aux",
+        target="gp",
+        dataset="breast_cancer",
+        n_importance=64,
+        sampler="aux_slice",
+        chains=64,
+        steps=1000,
+    ),
+    "abalone_aux": RunConfig(
+        preset="abalone_aux",
+        target="gp",
+        dataset="abalone",
+        n_importance=64,
+        sampler="aux_slice",
+        chains=32,
+        steps=500,
+        subsample=1024,  # full 4177-pt abalone: set --subsample 0
+    ),
+    # config 4: "4096 vectorized chains on GP posterior, chains sharded
+    # across hosts, global step-size/bracket adaptation via psum"
+    "gp_4096_sharded": RunConfig(
+        preset="gp_4096_sharded",
+        target="gp",
+        dataset="pima",
+        n_importance=64,
+        sampler="aux_slice",
+        chains=4096,
+        steps=500,
+        sharded=True,
+    ),
+    # config 5: "SMC with 1M particles sharded over a v4 pod slice:
+    # distributed resampling + NUTS rejuvenation on GP hyperparameters"
+    # (particle count is per-run: 1M needs the pod; default fits one chip)
+    "smc_gp_nuts": RunConfig(
+        preset="smc_gp_nuts",
+        target="gp",
+        dataset="pima",
+        n_importance=32,
+        sampler="smc",
+        smc_rejuvenation="aux_nuts",
+        particles=4096,
+        sharded=True,
+    ),
+    "smc_toy": RunConfig(
+        preset="smc_toy",
+        target="gaussian_toy",
+        n_importance=16,
+        sampler="smc",
+        smc_rejuvenation="aux_slice",
+        particles=2048,
+    ),
+}
+
+
+def build_target(cfg: RunConfig):
+    if cfg.target == "gaussian_toy":
+        from auxpm_tpu.models.gaussian_toy import make_gaussian_toy
+
+        return make_gaussian_toy(
+            n_importance=cfg.n_importance, noise_frac=cfg.noise_frac
+        )
+    if cfg.target == "gp":
+        from auxpm_tpu.models.datasets import load
+        from auxpm_tpu.models.gp_classification import make_gp_classification
+
+        x, y = load(cfg.dataset, subsample=cfg.subsample or None, seed=cfg.seed)
+        return make_gp_classification(
+            x,
+            y,
+            n_importance=cfg.n_importance,
+            likelihood=cfg.likelihood,
+            ard=cfg.ard,
+        )
+    raise ValueError(f"unknown target {cfg.target}")
+
+
+def initial_params(cfg: RunConfig, target):
+    import jax.numpy as jnp
+
+    widths = jnp.full((target.d,), cfg.widths, jnp.float32)
+    if cfg.sampler == "pm_mh":
+        return {"step_size": cfg.step_size}
+    params = {}
+    if cfg.sampler in ("aux_slice", "aux_slice_rd"):
+        params["slice_theta"] = {"widths": widths}
+    if cfg.sampler == "aux_mh":
+        params["mh_theta"] = {"step_size": cfg.step_size}
+    if cfg.sampler == "aux_hmc":
+        params["hmc"] = {"step_size": cfg.nuts_step_size}
+    if cfg.sampler == "aux_nuts":
+        params["nuts"] = {"step_size": cfg.nuts_step_size}
+    return params

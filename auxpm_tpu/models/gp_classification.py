@@ -63,6 +63,8 @@ def make_gp_classification(
     dtype=jnp.float32,
     name=None,
     pad_to_tiles=True,
+    proposal="prior",
+    newton_iters=12,
 ):
     """Build the GP-classification pseudo-marginal ``Target``.
 
@@ -76,6 +78,11 @@ def make_gp_classification(
       pad_to_tiles: pad the dataset axis to a multiple of 128 (see module
         docstring).  Disable only for numerics tests against unpadded
         oracles at exactly matching shapes.
+      proposal: importance proposal — "prior" (the reference default; the
+        density ratio cancels exactly) or "laplace" (approximate-posterior
+        N(f̂, (K⁻¹+W)⁻¹) fitted by Newton per theta; far lower estimator
+        variance at small S — see models/laplace.py).
+      newton_iters: fixed Newton iteration count for the Laplace fit.
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -116,8 +123,8 @@ def make_gp_classification(
     # factor separable — chol(K) = sigma chol(R + jitter I) — so the
     # log_sigma coordinate never pays a Cholesky (coord_estimators below),
     # and sigma cannot drive the nugget to numerical insignificance.
-    def chol_r(log_ell):
-        """chol(R(ell) + jitter I): the sigma-independent factor."""
+    def r_matrix(log_ell):
+        """R(ell) + jitter I: the sigma-independent correlation matrix."""
         if ard:
             r = se_gram_ard(x_pad, log_ell, 0.0, jitter)
             if pad:
@@ -127,7 +134,11 @@ def make_gp_classification(
             r = se_gram_iso(sqdist, log_ell, 0.0, jitter)
             # sqdist padding already zeroes the off-diagonal pad entries;
             # the pad block is diagonal so its factor is exact.
-        return jnp.linalg.cholesky(r)
+        return r
+
+    def chol_r(log_ell):
+        """chol(R(ell) + jitter I): the sigma-independent factor."""
+        return jnp.linalg.cholesky(r_matrix(log_ell))
 
     def prepare(theta):
         log_ell, log_sigma = split_theta(theta)
@@ -183,13 +194,52 @@ def make_gp_classification(
         + [_sigma_coord_factory]
     )
 
+    if proposal == "laplace":
+        # Approximate-posterior importance proposal (models/laplace.py):
+        # q(f) = N(f̂_theta, (K⁻¹+W)⁻¹) fitted by Newton inside prepare().
+        # The sigma-separability trick no longer applies (the mode depends
+        # on sigma), so coord_estimators falls back to the generic path.
+        from auxpm_tpu.models.laplace import (
+            laplace_fit,
+            laplace_log_weight_terms,
+        )
+
+        def prepare(theta):  # noqa: F811  (intentional override)
+            log_ell, log_sigma = split_theta(theta)
+            r = r_matrix(log_ell)
+            chol_k = jnp.exp(log_sigma) * jnp.linalg.cholesky(r)
+            k = jnp.exp(2.0 * log_sigma) * r
+            f_hat, chol_q, half_logdet_q = laplace_fit(
+                k, y_dev, mask, likelihood, newton_iters
+            )
+            return (chol_k, f_hat, chol_q, half_logdet_q)
+
+        def log_weights_u(prepared, u):  # noqa: F811
+            chol_k, f_hat, chol_q, half_logdet_q = prepared
+            f, extra = laplace_log_weight_terms(
+                chol_k, f_hat, chol_q, half_logdet_q, u
+            )
+            return log_lik_fn(f, y_dev[None, :], mask[None, :]) + extra
+
+        def log_lik_est_u(prepared, u):  # noqa: F811
+            return logsumexp(log_weights_u(prepared, u), axis=0) - log_s_fac
+
+        def log_lik_est(theta, u):  # noqa: F811
+            return log_lik_est_u(prepare(theta), u)
+
+        coord_estimators = None
+    elif proposal != "prior":
+        raise ValueError(f"unknown proposal {proposal!r}")
+
     return Target(
         d=n_theta,
         u_shape=(n_importance, n),
         log_prior=log_prior,
         log_lik_est=log_lik_est,
         theta_init=jnp.zeros((n_theta,), dtype),
-        name=name or f"gp_{likelihood}_n{n_raw}",
+        name=name
+        or f"gp_{likelihood}_n{n_raw}"
+        + ("_laplace" if proposal == "laplace" else ""),
         prepare=prepare,
         log_lik_est_u=log_lik_est_u,
         log_weights_u=log_weights_u,

@@ -41,7 +41,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 CHAINS = int(os.environ.get("BENCH_CHAINS", 128))
 STEPS = int(os.environ.get("BENCH_STEPS", 600))
-WARM_STEPS = int(os.environ.get("BENCH_WARM", 100))
+# Dispatch-window size: the tunneled device kills dispatches longer than
+# ~30-60s (measured 2026-08-18: 100-step windows of this workload fault with
+# UNAVAILABLE; 20-step windows at ~12s run clean), so keep windows short.
+WARM_STEPS = int(os.environ.get("BENCH_WARM", 25))
 ORACLE_STEPS = int(os.environ.get("BENCH_ORACLE_STEPS", 15))
 S = 64
 

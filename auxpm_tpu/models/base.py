@@ -69,6 +69,11 @@ class Target:
     # entirely.  None -> the sampler uses the generic estimator for every
     # coordinate.
     coord_estimators: Optional[tuple] = None
+    # Optional fused elliptical-slice probe ``(prepared, u, v, angle) ->
+    # scalar`` = log_lik_est_u(prepared, u cos a + v sin a) WITHOUT
+    # materialising the rotated proposal (Pallas kernel on TPU —
+    # ops/fused_estimator.py); used by samplers/ess_u.py when present.
+    log_lik_est_rot: Optional[Callable] = None
     # Optional: per-importance-sample log-weights ``(prepared, u) -> (S,)``
     # with ``log_lik_est_u == logsumexp(log_weights_u) - log S``.  Lets the
     # particle-sharding wrapper swap the local reduction for a collective

@@ -148,10 +148,25 @@ def make_gp_classification(
         f = whiten(chol, u)  # (S, n) one MXU matmul
         return log_lik_fn(f, y_dev[None, :], mask[None, :])  # (S,)
 
-    def log_lik_est_u(chol, u):
-        return logsumexp(log_weights_u(chol, u), axis=0) - jnp.log(
-            jnp.asarray(float(u.shape[0]), u.dtype)
+    # Fused whiten+loglik+logsumexp (Pallas on TPU, jnp elsewhere —
+    # ops/fused_estimator.py); requires the tile-aligned padded layout.
+    use_fused = pad_to_tiles and n % _TILE == 0
+    if use_fused:
+        from auxpm_tpu.ops.fused_estimator import (
+            make_fused_estimator,
+            make_fused_rot_estimator,
         )
+
+        log_lik_est_u = make_fused_estimator(y_dev, mask, likelihood)
+        log_lik_est_rot = make_fused_rot_estimator(y_dev, mask, likelihood)
+    else:
+
+        def log_lik_est_u(chol, u):
+            return logsumexp(log_weights_u(chol, u), axis=0) - jnp.log(
+                jnp.asarray(float(u.shape[0]), u.dtype)
+            )
+
+        log_lik_est_rot = None
 
     def log_lik_est(theta, u):
         return log_lik_est_u(prepare(theta), u)
@@ -228,6 +243,7 @@ def make_gp_classification(
             return log_lik_est_u(prepare(theta), u)
 
         coord_estimators = None
+        log_lik_est_rot = None  # prepared is a tuple; no fused kernel path
     elif proposal != "prior":
         raise ValueError(f"unknown proposal {proposal!r}")
 
@@ -242,6 +258,7 @@ def make_gp_classification(
         + ("_laplace" if proposal == "laplace" else ""),
         prepare=prepare,
         log_lik_est_u=log_lik_est_u,
+        log_lik_est_rot=log_lik_est_rot,
         log_weights_u=log_weights_u,
         coord_estimators=coord_estimators,
         sample_prior=lambda key: prior_mean

@@ -1,0 +1,242 @@
+"""Fused whiten → likelihood → log-sum-exp estimator kernel (Pallas TPU).
+
+SURVEY.md §2.1 maps the reference's hot estimator path (whitened draws +
+Bernoulli log-likelihood + logsumexp over S importance samples, SURVEY.md
+§3.4) to "fused whiten→likelihood→logsumexp ... Pallas TPU kernels".  This
+kernel computes, for one chain,
+
+    f   = u @ C.T                      (S, n)  one pass of MXU tiles
+    lw  = sum_i mask_i * log lik(y_i f_si)     per importance sample
+    out = logsumexp_s(lw) - log S              scalar
+
+WITHOUT ever materialising ``f`` (or the rotated proposal, see below) in
+HBM: the grid walks 128-wide column blocks of C, each step issuing one
+(S, n)x(n, 128) MXU matmul whose output tile is consumed immediately by the
+VPU likelihood and accumulated into a (S, 128) VMEM partial-sum buffer; the
+final step folds the buffer into the logsumexp.  HBM traffic is exactly one
+read of C, u (and v) per call — the XLA fallback writes/rereads ``f``.
+
+The elliptical-slice variant fuses the proposal rotation too:
+``u' = u cos a + v sin a`` is formed in-registers per tile, so the ESS
+bracket-shrink loop (SURVEY.md §3.3, the hottest inner loop of the method)
+never materialises u' until a move is accepted.
+
+Gradients: samplers needing autodiff (HMC/NUTS, SURVEY.md §2.2) get a
+``jax.custom_vjp`` whose backward pass replays the mathematically identical
+jnp path — forward speed from Pallas, gradients from XLA.
+
+Off-TPU (CPU tests) every entry point falls back to the jnp reference
+implementation automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu importable only with a TPU-capable jaxlib
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_BLK = 128
+
+
+def _log_lik_tile(f, y, mask, likelihood):
+    """Elementwise stable log-likelihood on one (S, BLK) tile (VPU)."""
+    if likelihood != "logistic":  # pragma: no cover - guarded by callers
+        # Mosaic has no erfc lowering (jax 0.9), so the probit likelihood
+        # stays on the XLA path; see make_fused_estimator.
+        raise ValueError(likelihood)
+    return -jax.nn.softplus(-y * f) * mask
+
+
+def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood,
+                  log_s):
+    """Grid step j: one 128-column block of f = u @ C.T.
+
+    u_ref: (S, n) full auxiliary block (VMEM, constant across grid).
+    c_ref: (BLK, n) rows j*BLK..(j+1)*BLK of C  (f[:, blk] = u @ C[blk, :].T).
+    y_ref/mask_ref: (1, BLK) label/mask column blocks.
+    out_ref: (1, 1) scalar output (SMEM).
+    acc_ref: (S, BLK) VMEM scratch accumulating per-sample partial loglik.
+    """
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # (S, n) x (BLK, n)^T contraction over n -> (S, BLK) on the MXU
+    f_blk = jax.lax.dot_general(
+        u_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
+                                mask_ref[0, :][None, :], likelihood)
+
+    @pl.when(j == nj - 1)
+    def _():
+        lw = jnp.sum(acc_ref[:], axis=1, keepdims=True)  # (S, 1)
+        m = jnp.max(lw)
+        lse = jnp.log(jnp.sum(jnp.exp(lw - m))) + m
+        out_ref[0, 0] = lse - log_s
+
+
+def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
+                      acc_ref, *, likelihood, log_s):
+    """ESS variant: whitens u' = u cos a + v sin a formed per tile."""
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    u_rot = u_ref[:] * jnp.cos(ang_ref[0, 0]) + v_ref[:] * jnp.sin(ang_ref[0, 0])
+    f_blk = jax.lax.dot_general(
+        u_rot,
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
+                                mask_ref[0, :][None, :], likelihood)
+
+    @pl.when(j == nj - 1)
+    def _():
+        lw = jnp.sum(acc_ref[:], axis=1, keepdims=True)
+        m = jnp.max(lw)
+        lse = jnp.log(jnp.sum(jnp.exp(lw - m))) + m
+        out_ref[0, 0] = lse - log_s
+
+
+def _ref_estimate(chol, u, y, mask, likelihood):
+    """jnp reference implementation (CPU fallback + VJP backward)."""
+    f = u @ chol.T
+    if likelihood == "logistic":
+        ll = -jax.nn.softplus(-y[None, :] * f)
+    else:
+        z = y[None, :] * f
+        llp = jnp.log(0.5 * jax.lax.erfc(-z * 0.7071067811865476))
+        tail = -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(-z + 1e-30)
+        ll = jnp.where(z < -8.0, tail, llp)
+    lw = jnp.sum(ll * mask[None, :], axis=-1)
+    m = jnp.max(lw)
+    return (
+        jnp.log(jnp.sum(jnp.exp(lw - m))) + m
+        - jnp.log(jnp.asarray(float(u.shape[0]), u.dtype))
+    )
+
+
+def _pallas_estimate(chol, u, y, mask, likelihood):
+    s, n = u.shape
+    assert n % _BLK == 0, f"n={n} must be 128-aligned (pad the target)"
+    kern = functools.partial(
+        _fused_kernel, likelihood=likelihood, log_s=float(np.log(float(s)))
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n // _BLK,),
+        in_specs=[
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+    )(u, chol, y[None, :], mask[None, :])[0, 0]
+
+
+def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood):
+    s, n = u.shape
+    assert n % _BLK == 0
+    kern = functools.partial(
+        _fused_rot_kernel, likelihood=likelihood, log_s=float(np.log(float(s)))
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n // _BLK,),
+        in_specs=[
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+    )(u, v, jnp.reshape(angle, (1, 1)).astype(jnp.float32), chol,
+      y[None, :], mask[None, :])[0, 0]
+
+
+def _on_tpu():
+    try:
+        return pltpu is not None and jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def make_fused_estimator(y, mask, likelihood="logistic", force=None):
+    """Returns ``est(chol, u) -> scalar`` = logsumexp_s(loglik) - log S.
+
+    Pallas-fused on TPU, jnp elsewhere (``force=True/False`` overrides for
+    tests).  Differentiable in both args via custom_vjp (backward = jnp).
+    """
+    use_pallas = _on_tpu() if force is None else force
+    if likelihood != "logistic":
+        use_pallas = False  # no erfc in the Mosaic lowering; XLA handles it
+    y = jnp.asarray(y, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    if not use_pallas:
+        return lambda chol, u: _ref_estimate(chol, u, y, mask, likelihood)
+
+    @jax.custom_vjp
+    def est(chol, u):
+        return _pallas_estimate(chol, u, y, mask, likelihood)
+
+    def fwd(chol, u):
+        return est(chol, u), (chol, u)
+
+    def bwd(res, g):
+        chol, u = res
+        gc, gu = jax.grad(
+            lambda c, uu: _ref_estimate(c, uu, y, mask, likelihood), argnums=(0, 1)
+        )(chol, u)
+        return (g * gc, g * gu)
+
+    est.defvjp(fwd, bwd)
+    return est
+
+
+def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None):
+    """Returns ``est(chol, u, v, angle) -> scalar`` for the ESS inner loop:
+    the estimate at the rotated proposal u cos a + v sin a, fused."""
+    use_pallas = _on_tpu() if force is None else force
+    if likelihood != "logistic":
+        use_pallas = False  # no erfc in the Mosaic lowering; XLA handles it
+    y = jnp.asarray(y, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    def ref(chol, u, v, angle):
+        return _ref_estimate(
+            chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood
+        )
+
+    if not use_pallas:
+        return ref
+    return lambda chol, u, v, angle: _pallas_estimate_rot(
+        chol, u, v, angle, y, mask, likelihood
+    )

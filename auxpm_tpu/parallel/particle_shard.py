@@ -64,5 +64,8 @@ def shard_target_particles(target, axis_name="particles"):
         # group -> collective mismatch (observed as a runtime abort).  The
         # generic path below uses the wrapped psum estimator.
         coord_estimators=None,
+        # the fused rotated-probe kernel reduces locally (no psum) — the
+        # fallback path through the wrapped log_lik_est_u is the sharded one
+        log_lik_est_rot=None,
         name=f"{target.name}@{axis_name}",
     ), s_global_static

@@ -150,6 +150,16 @@ def main(argv=None):
     if cfg.out:
         np.savez(cfg.out, theta=theta)
         logger.info(f"chains saved to {cfg.out}")
+    if cfg.plots:
+        from auxpm_tpu.utils.plots import experiment_report
+
+        truth = (
+            np.asarray(target.posterior_mean)
+            if target.posterior_mean is not None
+            else None
+        )
+        paths = experiment_report(theta, cfg.plots, truth=truth)
+        logger.info(f"figures: {paths}")
     return 0
 
 

@@ -55,26 +55,36 @@ def make_ess_u(target, particle_axis=None):
 
         # theta is fixed for every probe: amortise the expensive part of the
         # estimator (Gram + Cholesky for GP targets) across the whole loop.
+        # Probes carry only the ANGLE; the rotated proposal u' = u cos a +
+        # v sin a is either fused into the estimator kernel
+        # (target.log_lik_est_rot — Pallas on TPU, never materialising u')
+        # or formed on the fly; the accepted u' is materialised ONCE after
+        # the loop.
         if target.prepare is not None:
             prepared = target.prepare(state.theta)
-            est = lambda u: target.log_lik_est_u(prepared, u)  # noqa: E731
+            if target.log_lik_est_rot is not None:
+                est_rot = lambda a: target.log_lik_est_rot(  # noqa: E731
+                    prepared, state.u, v, a
+                )
+            else:
+                est_rot = lambda a: target.log_lik_est_u(  # noqa: E731
+                    prepared, state.u * jnp.cos(a) + v * jnp.sin(a)
+                )
         else:
-            est = lambda u: target.log_lik_est(state.theta, u)  # noqa: E731
-
-        def propose(angle):
-            u_p = state.u * jnp.cos(angle) + v * jnp.sin(angle)
-            return u_p, est(u_p)
+            est_rot = lambda a: target.log_lik_est(  # noqa: E731
+                state.theta, state.u * jnp.cos(a) + v * jnp.sin(a)
+            )
 
         # Initial angle and bracket.
         a0 = jax.random.uniform(k_loop, (), state.u.dtype) * _TWO_PI
-        u0, ll0 = propose(a0)
+        ll0 = est_rot(a0)
 
         def cond(carry):
-            i, a, a_min, a_max, u_p, ll_p, done = carry
+            i, a, a_min, a_max, ll_p, done = carry
             return jnp.logical_and(~done, i < max_iters)
 
         def body(carry):
-            i, a, a_min, a_max, u_p, ll_p, done = carry
+            i, a, a_min, a_max, ll_p, done = carry
             # shrink toward 0, redraw angle
             a_min = jnp.where(a < 0, a, a_min)
             a_max = jnp.where(a < 0, a_max, a)
@@ -82,20 +92,20 @@ def make_ess_u(target, particle_axis=None):
             a_new = a_min + (a_max - a_min) * jax.random.uniform(
                 ku, (), state.u.dtype
             )
-            u_new, ll_new = propose(a_new)
+            ll_new = est_rot(a_new)
             return (
                 i + 1,
                 a_new,
                 a_min,
                 a_max,
-                u_new,
                 ll_new,
                 ll_new > log_y,
             )
 
-        init = (jnp.int32(0), a0, a0 - _TWO_PI, a0, u0, ll0, ll0 > log_y)
-        n_shrink, a, _, _, u_p, ll_p, done = jax.lax.while_loop(cond, body, init)
+        init = (jnp.int32(0), a0, a0 - _TWO_PI, a0, ll0, ll0 > log_y)
+        n_shrink, a, _, _, ll_p, done = jax.lax.while_loop(cond, body, init)
 
+        u_p = state.u * jnp.cos(a) + v * jnp.sin(a)  # accepted u', once
         # Cap-hit safety: keep the current state (exact — a no-op move).
         new_state = state.replace(
             u=jnp.where(done, u_p, state.u),

@@ -64,6 +64,12 @@ def _slice_1d(key, x0, log_fx0, f, f2, w, max_step_out, max_shrink, dtype):
     r0 = l0 + w
 
     # --- step out: probe both ends in one batched estimator call ---
+    # max_step_out == 0 (works traced: the loop runs zero iterations) gives
+    # Neal 2003 §4.1's shrinkage-only variant — the randomly positioned
+    # width-w interval is used directly, which is still an exact slice
+    # sampler (interval placement is symmetric in (x0, x')) and saves up to
+    # 2*max_step_out full-estimator probes per coordinate on the worst vmap
+    # lane; pair with a generous adapted width (adaptation.py width_scale).
     def so_cond(carry):
         l, r, i, expand_l, expand_r = carry
         return jnp.logical_and(i < max_step_out, jnp.logical_or(expand_l, expand_r))

@@ -84,6 +84,7 @@ def tempered_target(target, beta):
         log_lik_est_u=scale(target.log_lik_est_u) if target.log_lik_est_u else None,
         log_weights_u=None,  # tempering breaks the lse decomposition
         coord_estimators=None,  # closures would use the UNtempered estimator
+        log_lik_est_rot=None,  # would return the UNtempered estimate
     )
 
 

@@ -20,6 +20,7 @@ class RunConfig:
     dataset: str = "pima"  # gp only: pima | breast_cancer | abalone
     n_importance: int = 16
     likelihood: str = "logistic"
+    proposal: str = "prior"  # importance proposal: prior | laplace
     ard: bool = False
     subsample: Optional[int] = None
     noise_frac: float = 0.3  # toy only
@@ -48,6 +49,7 @@ class RunConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # windows; 0 = off
     out: Optional[str] = None
+    plots: Optional[str] = None  # prefix for trace/density/autocorr figures
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -153,6 +155,7 @@ def build_target(cfg: RunConfig):
             y,
             n_importance=cfg.n_importance,
             likelihood=cfg.likelihood,
+            proposal=cfg.proposal,
             ard=cfg.ard,
         )
     raise ValueError(f"unknown target {cfg.target}")

@@ -72,13 +72,19 @@ PARAMS = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(SAMPLERS))
+@pytest.mark.parametrize("name", sorted(SAMPLERS) + ["aux_slice_noso"])
 def test_prior_invariance(name):
     target = _const_lik_target()
-    step = SAMPLERS[name](target)
+    if name == "aux_slice_noso":
+        # shrinkage-only slice variant (max_step_out=0, Neal 2003 §4.1)
+        step = SAMPLERS["aux_slice"](target)
+        params = {"slice_theta": {"widths": 2.5, "max_step_out": 0}}
+    else:
+        step = SAMPLERS[name](target)
+        params = PARAMS[name]
     n_chains, n_steps = 4096, 25
     states = _prior_population(jax.random.key(hash(name) % (2**31)), target, n_chains)
-    states, _, _ = run_chains(step, states, PARAMS[name], n_steps)
+    states, _, _ = run_chains(step, states, params, n_steps)
 
     theta = np.asarray(states.theta, np.float64)  # (n_chains, D)
     u = np.asarray(states.u, np.float64).reshape(n_chains, -1)

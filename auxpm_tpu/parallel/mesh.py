@@ -24,6 +24,33 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def distributed_init(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host bring-up (idempotent).
+
+    On TPU pods the runtime autodetects everything from the environment
+    (``jax.distributed.initialize()`` with no args); the explicit kwargs
+    cover manual bring-up (e.g. GPU clusters or tests).  Call BEFORE any
+    other jax API touches a backend.  After this, ``jax.devices()`` spans
+    all processes and ``make_mesh`` builds a global mesh; gang-scheduling
+    semantics and restart-based recovery are documented in SURVEY.md §5.
+    """
+    if jax.process_count() > 1:  # already initialised
+        return
+    kw = {}
+    if coordinator is not None:
+        kw = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kw)
+    except Exception as e:  # single-process/dev environments
+        import logging
+
+        logging.getLogger("auxpm_tpu").info(f"distributed init skipped: {e}")
+
+
 def make_mesh(n_chains_shards=None, n_particle_shards=1, devices=None):
     """Build a ('chains', 'particles') mesh.
 

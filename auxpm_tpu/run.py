@@ -59,6 +59,12 @@ def main(argv=None):
     }
     cfg = cfg.replace(**overrides)
 
+    if cfg.multihost:
+        # must run before any backend use (parallel/mesh.py docstring)
+        from auxpm_tpu.parallel.mesh import distributed_init
+
+        distributed_init()
+
     import jax
 
     from auxpm_tpu.core.state import init_chain_states
@@ -109,27 +115,37 @@ def main(argv=None):
         )
     logger.info(f"warmup done in {time.time()-t0:.1f}s; params={params}")
 
-    # main run, windowed
+    # main run, windowed (optionally under a profiler trace)
+    import contextlib
+
+    if cfg.profile_dir:
+        from auxpm_tpu.utils.profiling import trace as profile_trace
+
+        profile_cm = profile_trace(cfg.profile_dir)
+    else:
+        profile_cm = contextlib.nullcontext()
+
     all_theta = []
     t0 = time.time()
     n_windows = max(cfg.steps // cfg.window_steps, 1)
-    for w in range(n_windows):
-        states, recs, infos = run_fn(states, params, cfg.window_steps)
-        theta = np.asarray(recs["theta"])
-        all_theta.append(theta)
-        metrics.write(
-            {"phase": "sample", "window": w,
-             "wall": round(time.time() - t0, 2),
-             "log_lik_mean": float(np.asarray(recs["log_lik_hat"]).mean()),
-             **{k: float(np.asarray(v).mean()) for k, v in infos.items()}}
-        )
-        if cfg.checkpoint_dir and cfg.checkpoint_every and (
-            (w + 1) % cfg.checkpoint_every == 0
-        ):
-            save_checkpoint(
-                cfg.checkpoint_dir, states, step=(w + 1) * cfg.window_steps,
-                config=dataclasses.asdict(cfg),
+    with profile_cm:
+        for w in range(n_windows):
+            states, recs, infos = run_fn(states, params, cfg.window_steps)
+            theta = np.asarray(recs["theta"])
+            all_theta.append(theta)
+            metrics.write(
+                {"phase": "sample", "window": w,
+                 "wall": round(time.time() - t0, 2),
+                 "log_lik_mean": float(np.asarray(recs["log_lik_hat"]).mean()),
+                 **{k: float(np.asarray(v).mean()) for k, v in infos.items()}}
             )
+            if cfg.checkpoint_dir and cfg.checkpoint_every and (
+                (w + 1) % cfg.checkpoint_every == 0
+            ):
+                save_checkpoint(
+                    cfg.checkpoint_dir, states, step=(w + 1) * cfg.window_steps,
+                    config=dataclasses.asdict(cfg),
+                )
     wall = time.time() - t0
 
     theta = np.concatenate(all_theta, axis=1)  # (chains, steps, d)

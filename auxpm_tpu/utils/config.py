@@ -42,6 +42,8 @@ class RunConfig:
     # parallel
     sharded: bool = False
     particle_shards: int = 1
+    multihost: bool = False  # jax.distributed.initialize() before bring-up
+    profile_dir: Optional[str] = None  # jax.profiler trace of the main run
     # misc
     seed: int = 0
     jitter_scale: float = 0.3

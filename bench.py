@@ -4,17 +4,29 @@ BASELINE primary metric (BASELINE.json:2) on config 2 (Pima 532 pts,
 auxiliary PM slice sampling, S=64 importance samples per step).
 
 Protocol:
-- TPU side: adapt slice widths briefly, then run ``CHAINS`` vmapped chains
-  for ``STEPS`` steps of the aux-slice kernel in ONE compiled scan; wall
-  time via block_until_ready; ESS computed per chain-dimension with the
-  Geyer estimator and summed over chains.
+- TPU side: adapt slice widths over WARM_WINDOWS windows (not timed), then
+  run ``CHAINS`` vmapped chains for ``STEPS`` steps of the aux-slice kernel
+  in WARM_STEPS-sized compiled dispatches; wall time via block_until_ready;
+  ESS computed over the timed samples only (Geyer estimator per dimension,
+  combined over chains; min over dimensions).
+- Kernel variant: BENCH_STEP_OUT=0 (default) uses Neal's shrinkage-only
+  slice (exact, ~1.5-5x cheaper per step on the worst vmap lane);
+  BENCH_STEP_OUT=8 is the classic stepping-out variant.  The CPU baseline
+  runs the IDENTICAL variant so per-step ESS transfers.
 - Baseline side: the reference repo publishes no numbers and the mount is
   empty (BASELINE.md), so the CPU reference is the in-repo pure-NumPy
-  oracle (tests/oracle/, same algorithm, same dataset, same S) run for a
-  short timed stretch.  Because both sides run the *identical* kernel, the
-  per-step ESS measured on the long TPU run transfers; CPU ESS/sec =
-  per-step-ESS x oracle steps/sec.  (+ the native C++ Gram kernel when
-  built, making the baseline as fast as the reference's Cython path.)
+  oracle (tests/oracle/, same algorithm, same dataset, same S, same widths,
+  + the native C++ Gram kernel when built — the reference's Cython-kernel
+  footing) run for a short timed stretch.  Because both sides run the
+  identical kernel, the per-step ESS measured on the long TPU run
+  transfers; CPU ESS/sec = per-step-ESS x oracle steps/sec.
+
+Dispatch windows are kept short (~15s): the tunneled device kills ~60s
+dispatches (measured 2026-08-18).
+
+Env knobs: BENCH_CHAINS, BENCH_STEPS, BENCH_WARM (window size),
+BENCH_WARM_WINDOWS, BENCH_STEP_OUT, BENCH_PROPOSAL (prior|laplace),
+BENCH_S, BENCH_ORACLE_STEPS.
 
 Prints ONE JSON line:
   {"metric": "ess_per_sec_per_chip", "value": ..., "unit": "ESS/s",
@@ -39,14 +51,15 @@ os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-CHAINS = int(os.environ.get("BENCH_CHAINS", 128))
-STEPS = int(os.environ.get("BENCH_STEPS", 600))
-# Dispatch-window size: the tunneled device kills dispatches longer than
-# ~30-60s (measured 2026-08-18: 100-step windows of this workload fault with
-# UNAVAILABLE; 20-step windows at ~12s run clean), so keep windows short.
+CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
+STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 WARM_STEPS = int(os.environ.get("BENCH_WARM", 25))
+WARM_WINDOWS = int(os.environ.get("BENCH_WARM_WINDOWS", 6))
 ORACLE_STEPS = int(os.environ.get("BENCH_ORACLE_STEPS", 15))
-S = 64
+STEP_OUT = int(os.environ.get("BENCH_STEP_OUT", 0))
+PROPOSAL = os.environ.get("BENCH_PROPOSAL", "prior")
+S = int(os.environ.get("BENCH_S", 64))
+WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 
 
 def log(*a):
@@ -54,6 +67,8 @@ def log(*a):
 
 
 def main():
+    import jax.numpy as jnp
+
     from auxpm_tpu.core.state import init_chain_states
     from auxpm_tpu.models.datasets import load
     from auxpm_tpu.models.gp_classification import make_gp_classification
@@ -63,32 +78,41 @@ def main():
     from auxpm_tpu.utils.diagnostics import effective_sample_size
 
     log(f"devices: {jax.devices()}")
+    log(f"chains={CHAINS} steps={STEPS} S={S} step_out={STEP_OUT} "
+        f"proposal={PROPOSAL}")
     x, y = load("pima")
-    target = make_gp_classification(x, y, n_importance=S)
+    target = make_gp_classification(x, y, n_importance=S, proposal=PROPOSAL)
     step = make_aux_slice(target)
-
-    import jax.numpy as jnp
 
     states = init_chain_states(jax.random.key(0), target, CHAINS, jitter_scale=0.3)
     # widths as a (d,) array from the start: adaptation returns an array, and
     # a scalar->array params change would retrigger compilation mid-benchmark
+    # generous initial widths: the shrink-only variant needs the interval to
+    # cover the slice from the first window (posterior stds here are ~0.1-0.3)
     params = {
-        "slice_theta": {"widths": jnp.ones((target.d,), jnp.float32)},
+        "slice_theta": {
+            "widths": jnp.full((target.d,), 2.0, jnp.float32),
+            "max_step_out": STEP_OUT,
+        },
         "ess_u": {},
     }
 
-    # adaptation windows (not timed): repeated so the slice widths settle to
-    # ~2x the true posterior std — the probe count per step (the dominant
-    # cost: every probe is a Gram+Cholesky) drops with converged widths
+    # adaptation windows (not timed): slice widths settle to WIDTH_SCALE x
+    # the posterior std — the probe count per step (the dominant cost: every
+    # probe is a Gram+Cholesky) drops with converged widths; the first
+    # windows also burn in the overdispersed inits so the timed stretch is
+    # stationary (short-window ESS otherwise measures burn-in, not mixing).
     t0 = time.time()
-    for w in range(3):
+    for w in range(WARM_WINDOWS):
         states, recs, infos = run_chains(step, states, params, WARM_STEPS)
         jax.block_until_ready(states.theta)
-        params = adapt_params(params, recs, infos)
+        params = adapt_params(params, recs, infos, width_scale=WIDTH_SCALE)
+        params["slice_theta"]["max_step_out"] = STEP_OUT  # adapt_params keeps it
+        np_probe = np.asarray(infos["slice_theta/n_probe"])
         log(
             f"warmup window {w}: cum {time.time()-t0:.1f}s; widths -> "
             f"{np.asarray(params['slice_theta']['widths'])}; probes "
-            f"{float(np.asarray(infos['slice_theta/n_probe']).mean()):.1f}"
+            f"mean {np_probe.mean():.1f} max {np_probe.max():.0f}"
         )
 
     # timed run in WARM_STEPS-sized chunks (a single very long dispatch can
@@ -102,12 +126,14 @@ def main():
         thetas.append(recs["theta"])
         infos_list.append(infos)
         jax.block_until_ready(recs["theta"])
-        log(f"chunk {ci}: cum {time.time()-t0:.1f}s")
+        if ci % 8 == 0:
+            log(f"chunk {ci}/{n_chunks}: cum {time.time()-t0:.1f}s")
     wall = time.time() - t0
 
     theta = np.concatenate([np.asarray(t) for t in thetas], axis=1)
-    infos = {k: np.concatenate([np.asarray(i[k]) for i in infos_list], axis=1)
-             for k in infos_list[0]}
+    n_probe = np.concatenate(
+        [np.asarray(i["slice_theta/n_probe"]) for i in infos_list], axis=1
+    )
     steps_done = theta.shape[1]
     ess = effective_sample_size(theta)  # (d,) combined over chains
     ess_min = float(np.min(ess))
@@ -115,32 +141,37 @@ def main():
     per_step_ess = ess_min / (CHAINS * steps_done)
     steps_per_sec_tpu = CHAINS * steps_done / wall
     log(
-        f"TPU: {wall:.2f}s for {CHAINS}x{STEPS} steps; ESS(min-dim) {ess_min:.0f}; "
-        f"{ess_per_sec:.1f} ESS/s; {steps_per_sec_tpu:.0f} chain-steps/s; "
-        f"probes/step {float(np.asarray(infos['slice_theta/n_probe']).mean()):.1f}"
+        f"TPU: {wall:.2f}s for {CHAINS}x{steps_done} steps; ESS {np.round(ess,1)}; "
+        f"{ess_per_sec:.2f} ESS/s; {steps_per_sec_tpu:.0f} chain-steps/s; "
+        f"probes/step mean {n_probe.mean():.1f} max {n_probe.max():.0f}"
     )
 
-    # ---- CPU oracle baseline ----
+    # ---- CPU oracle baseline (identical kernel variant) ----
     from tests.oracle.np_gp import NumpyGPTarget
-    from tests.oracle.oracle import NumpyDraws, OracleState, ess_update_u, slice_update_theta
+    from tests.oracle.oracle import (
+        NumpyDraws,
+        OracleState,
+        ess_update_u,
+        slice_update_theta,
+    )
 
     oracle = NumpyGPTarget(x, y, n_importance=S)
     log(f"oracle native gram: {oracle.use_native}")
     rng = np.random.default_rng(0)
     widths = np.asarray(params["slice_theta"]["widths"], np.float64)
-    st = OracleState(
-        np.zeros(2), rng.standard_normal(oracle.u_shape), 0.0
-    )
+    st = OracleState(np.zeros(2), rng.standard_normal(oracle.u_shape), 0.0)
     st.log_lik_hat = oracle.log_lik_est(st.theta, st.u)
     draws = NumpyDraws(rng)
     # warm (not timed): 2 steps
     for _ in range(2):
         st, _ = ess_update_u(st, oracle, draws)
-        st, _ = slice_update_theta(st, oracle, widths, draws)
+        st, _ = slice_update_theta(st, oracle, widths, draws,
+                                   max_step_out=STEP_OUT)
     t0 = time.time()
     for _ in range(ORACLE_STEPS):
         st, _ = ess_update_u(st, oracle, draws)
-        st, _ = slice_update_theta(st, oracle, widths, draws)
+        st, _ = slice_update_theta(st, oracle, widths, draws,
+                                   max_step_out=STEP_OUT)
     wall_cpu = time.time() - t0
     steps_per_sec_cpu = ORACLE_STEPS / wall_cpu
     ess_per_sec_cpu = per_step_ess * steps_per_sec_cpu

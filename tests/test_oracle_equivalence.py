@@ -125,11 +125,14 @@ def test_ess_u_matches_oracle(x64):
         )
 
 
-def test_slice_theta_matches_oracle(x64):
+@pytest.mark.parametrize("max_step_out", [8, 0])
+def test_slice_theta_matches_oracle(x64, max_step_out):
+    # max_step_out=0 is Neal's shrinkage-only variant (slice_theta.py);
+    # the oracle honors the same parameter, so equivalence covers both.
     target = _toy64()
     state = _init_state(jax.random.key(11), target)
     step = make_slice_theta(target)
-    widths = 1.3
+    widths = 1.3 if max_step_out else 3.0
 
     for _ in range(10):
         # mirror: key, *coord_keys = split(key, d+1);
@@ -147,10 +150,11 @@ def test_slice_theta_matches_oracle(x64):
             np.asarray(state.theta), np.asarray(state.u), float(state.log_lik_hat)
         )
         o_new, _ = slice_update_theta(
-            o_state, NpTarget(target), widths, ScriptedDraws(table)
+            o_state, NpTarget(target), widths, ScriptedDraws(table),
+            max_step_out=max_step_out,
         )
 
-        state, _ = step(state, {"widths": widths})
+        state, _ = step(state, {"widths": widths, "max_step_out": max_step_out})
         np.testing.assert_allclose(np.asarray(state.theta), o_new.theta, atol=1e-10)
         np.testing.assert_allclose(
             float(state.log_lik_hat), o_new.log_lik_hat, atol=1e-10

@@ -44,7 +44,7 @@ import numpy as np
 
 from auxpm_tpu.models.base import Target
 from auxpm_tpu.models.likelihoods import LIKELIHOODS
-from auxpm_tpu.ops.cholesky import whiten
+from auxpm_tpu.ops.cholesky import robust_cholesky, whiten
 from auxpm_tpu.ops.gram import pairwise_sqdist, se_gram_ard, se_gram_iso
 from auxpm_tpu.ops.logsumexp import logsumexp
 
@@ -100,9 +100,10 @@ def make_gp_classification(
         dtype,
     )
 
-    sq_raw = np.asarray(
-        pairwise_sqdist(jnp.asarray(x, jnp.float64 if False else jnp.float32))
-    )
+    # dataset sqdist: computed ONCE on the host in f64 (exact, no device
+    # matmul-precision concerns — see ops/gram.pairwise_sqdist docstring)
+    x64 = np.asarray(x, np.float64)
+    sq_raw = ((x64[:, None, :] - x64[None, :, :]) ** 2).sum(-1).astype(np.float32)
     if pad:
         big = np.full((n, n), np.float32(1e30))
         big[:n_raw, :n_raw] = sq_raw
@@ -137,8 +138,12 @@ def make_gp_classification(
         return r
 
     def chol_r(log_ell):
-        """chol(R(ell) + jitter I): the sigma-independent factor."""
-        return jnp.linalg.cholesky(r_matrix(log_ell))
+        """chol(R(ell) + jitter I): the sigma-independent factor.
+
+        Robust path: f32 TPU Cholesky can NaN at condition numbers SE Grams
+        reach within the prior's range; escalation keeps the chain moving
+        (ops/cholesky.robust_cholesky — deterministic in log_ell)."""
+        return robust_cholesky(r_matrix(log_ell), jitter0=jitter)
 
     def prepare(theta):
         log_ell, log_sigma = split_theta(theta)
@@ -222,7 +227,7 @@ def make_gp_classification(
         def prepare(theta):  # noqa: F811  (intentional override)
             log_ell, log_sigma = split_theta(theta)
             r = r_matrix(log_ell)
-            chol_k = jnp.exp(log_sigma) * jnp.linalg.cholesky(r)
+            chol_k = jnp.exp(log_sigma) * robust_cholesky(r, jitter0=jitter)
             k = jnp.exp(2.0 * log_sigma) * r
             f_hat, chol_q, half_logdet_q = laplace_fit(
                 k, y_dev, mask, likelihood, newton_iters

@@ -122,11 +122,30 @@ def chol_panel_batched(a, bt=8):
     )(a)
 
 
+def _mm(a, b):
+    """f32-precision MXU matmul.
+
+    CRITICAL: TPU default matmul precision is bf16 passes; inside a blocked
+    Cholesky the trailing-update rounding then destroys positive
+    definiteness at condition numbers as low as ~1e5 (measured: NaN factors
+    on SE Grams that LAPACK f32 handles fine).  HIGHEST forces the f32
+    (6-pass) MXU path for the O(n³) updates.
+    """
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((a.ndim - 1,), (b.ndim - 2,)),
+                           (tuple(range(a.ndim - 2)), tuple(range(b.ndim - 2)))),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def cholesky_batched(a, bt=8):
     """Blocked batched Cholesky: (B, n, n) -> lower L, n % 128 == 0.
 
     Panel factorisations via the Pallas kernel; solves and trailing updates
-    as MXU GEMMs.  ~n/128 kernel launches regardless of batch size.
+    as f32-precision MXU GEMMs.  ~n/128 kernel launches regardless of batch
+    size.
     """
     n = a.shape[-1]
     nb = n // BLK
@@ -140,9 +159,9 @@ def cholesky_batched(a, bt=8):
         out = out.at[..., sl, sl].set(ljj)
         if j + 1 < nb:
             pan = a[..., tr, sl]
-            lij = pan @ jnp.swapaxes(linv, -1, -2)  # MXU
+            lij = _mm(pan, jnp.swapaxes(linv, -1, -2))  # MXU, f32
             out = out.at[..., tr, sl].set(lij)
-            a = a.at[..., tr, tr].add(-lij @ jnp.swapaxes(lij, -1, -2))  # MXU
+            a = a.at[..., tr, tr].add(-_mm(lij, jnp.swapaxes(lij, -1, -2)))
     return out
 
 

@@ -10,7 +10,82 @@ triangular solves.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def robust_cholesky(gram, jitter0=0.0, growth=10.0, max_tries=3):
+    """Cholesky with automatic diagonal-jitter escalation on failure.
+
+    f32 Cholesky of a marginally-conditioned SPD matrix can produce NaN
+    factors (negative pivot from rounding; the TPU implementation fails at
+    condition numbers LAPACK handles).  This wrapper retries with the
+    diagonal boosted by ``jitter0 * growth^k`` (relative to the mean
+    diagonal when jitter0=0 -> uses 1e-6 * mean-diag as the base) until the
+    factor is finite, up to ``max_tries`` escalations inside a
+    ``lax.while_loop`` — deterministic in the input matrix, so estimators
+    built on it remain valid pseudo-marginal estimators (the escalated
+    nugget is part of the model at that theta).  Typical case: zero
+    escalations, one factorisation.
+
+    Reverse-mode differentiable via custom_vjp (``lax.while_loop`` is not):
+    the backward pass replays the standard Cholesky pullback at the chosen
+    shift — gradients of the shift choice itself are zero a.e., exactly as
+    for any piecewise definition.
+    """
+    l, _ = _robust_cholesky_impl(gram, jitter0, growth, max_tries)
+    return l
+
+
+def _robust_cholesky_impl(gram, jitter0, growth, max_tries):
+    n = gram.shape[-1]
+    eye = jnp.eye(n, dtype=gram.dtype)
+    base = jnp.where(
+        jnp.asarray(jitter0, gram.dtype) > 0,
+        jnp.asarray(jitter0, gram.dtype),
+        1e-6 * jnp.mean(jnp.diagonal(gram, axis1=-2, axis2=-1), axis=-1),
+    )
+
+    def ok(l):
+        return jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)).all()
+
+    l0 = jnp.linalg.cholesky(gram)
+
+    def cond(carry):
+        i, _, l = carry
+        return jnp.logical_and(i < max_tries, ~ok(l))
+
+    def body(carry):
+        i, extra, l = carry
+        extra = jnp.where(extra > 0, extra * growth, base * growth)
+        return i + 1, extra, jnp.linalg.cholesky(gram + extra * eye)
+
+    _, extra, l = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((), gram.dtype), l0)
+    )
+    return l, extra
+
+
+def _robust_cholesky_fwd(gram, jitter0, growth, max_tries):
+    l, extra = _robust_cholesky_impl(gram, jitter0, growth, max_tries)
+    return l, (gram, extra)
+
+
+def _robust_cholesky_bwd(jitter0, growth, max_tries, res, lbar):
+    gram, extra = res
+    n = gram.shape[-1]
+    eye = jnp.eye(n, dtype=gram.dtype)
+    # pullback of plain cholesky at the shifted matrix; d(shift)/d(gram)=I
+    _, pullback = jax.vjp(jnp.linalg.cholesky, gram + extra * eye)
+    (gbar,) = pullback(lbar)
+    return (gbar,)
+
+
+robust_cholesky.defvjp(_robust_cholesky_fwd, _robust_cholesky_bwd)
 
 
 def chol_with_jitter(gram, jitter=0.0):

@@ -38,9 +38,20 @@ except ImportError:  # pragma: no cover
 
 
 def pairwise_sqdist(x):
-    """(n, d) -> (n, n) squared Euclidean distances via one MXU matmul."""
+    """(n, d) -> (n, n) squared Euclidean distances via one MXU matmul.
+
+    The cross term MUST run at HIGHEST matmul precision: the expansion
+    ||xi||² + ||xj||² − 2 xi·xj cancels catastrophically for nearby points,
+    and the TPU default (fast bf16 passes) leaves absolute errors ~0.1 that
+    make the downstream SE Gram INDEFINITE (measured: eigmin −1.9e−3 on the
+    Pima Gram ⇒ every Cholesky NaNs).  HIGHEST costs ~6 bf16 passes — still
+    one cheap matmul, and this function is off the hot path (cached per
+    dataset; the ARD path pays it per probe but is Cholesky-dominated).
+    """
     sq = jnp.sum(x * x, axis=-1)
-    cross = x @ x.T
+    cross = jax.lax.dot_general(
+        x, x, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
     d2 = sq[:, None] + sq[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

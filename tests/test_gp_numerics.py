@@ -139,3 +139,29 @@ def test_coord_estimator_factories_match_generic():
             assert abs(float(lp) - want_lp) < 1e-3 + 1e-4 * abs(want_lp)
         lps, lls = f2(jnp.asarray([0.0, 0.3]))
         assert lps.shape == (2,)
+
+
+def test_robust_cholesky_escalates_and_differentiates():
+    """ops/cholesky.robust_cholesky: escalation on near-singular input and
+    reverse-mode gradients through the custom_vjp (lax.while_loop inside)."""
+    from auxpm_tpu.ops.cholesky import robust_cholesky
+
+    n = 64
+    # all-ones + tiny nugget: cond ~ n/1e-8 -> f32 Cholesky fails, the
+    # escalated nugget (1e-7, 1e-6, ...) succeeds
+    k = jnp.ones((n, n), jnp.float32) + 1e-8 * jnp.eye(n)
+    assert not bool(jnp.isfinite(jnp.diagonal(jnp.linalg.cholesky(k))).all())
+    l = robust_cholesky(k, jitter0=1e-8)
+    assert bool(jnp.isfinite(l).all())
+    np.testing.assert_allclose(np.asarray(l @ l.T), np.asarray(k), atol=1e-3)
+
+    # well-conditioned: matches plain cholesky exactly, grads finite
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((16, 16)).astype(np.float32)
+    k2 = jnp.asarray(a @ a.T + 4 * np.eye(16))
+    np.testing.assert_array_equal(
+        np.asarray(robust_cholesky(k2)), np.asarray(jnp.linalg.cholesky(k2))
+    )
+    g = jax.grad(lambda m: jnp.sum(robust_cholesky(m)))(k2)
+    g_ref = jax.grad(lambda m: jnp.sum(jnp.linalg.cholesky(m)))(k2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)

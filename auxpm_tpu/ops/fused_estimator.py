@@ -78,6 +78,7 @@ def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
                                 mask_ref[0, :][None, :], likelihood)
@@ -106,6 +107,7 @@ def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
                                 mask_ref[0, :][None, :], likelihood)

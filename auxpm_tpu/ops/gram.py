@@ -98,7 +98,8 @@ def _se_gram_kernel(params_ref, x_ref, xt_ref, out_ref):
     xj = xt_ref[:] * inv_ell[None, :]
     sq_i = jnp.sum(xi * xi, axis=1, keepdims=True)  # (T, 1)
     sq_j = jnp.sum(xj * xj, axis=1, keepdims=True).T  # (1, T)
-    cross = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(sq_i + sq_j - 2.0 * cross, 0.0)
     k = jnp.exp(two_log_sigma - 0.5 * d2)
 

@@ -64,7 +64,7 @@ def make_gp_classification(
     name=None,
     pad_to_tiles=True,
     proposal="prior",
-    newton_iters=12,
+    newton_iters=6,
 ):
     """Build the GP-classification pseudo-marginal ``Target``.
 
@@ -82,7 +82,9 @@ def make_gp_classification(
         density ratio cancels exactly) or "laplace" (approximate-posterior
         N(f̂, (K⁻¹+W)⁻¹) fitted by Newton per theta; far lower estimator
         variance at small S — see models/laplace.py).
-      newton_iters: fixed Newton iteration count for the Laplace fit.
+      newton_iters: fixed Newton iteration count for the Laplace fit
+        (quadratic convergence; 6 is converged to f32 noise on Pima-scale
+        problems — measured spread <3e-3 nats between 4 and 20 iterations).
     """
     x = np.asarray(x)
     y = np.asarray(y)

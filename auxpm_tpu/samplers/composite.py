@@ -19,10 +19,18 @@ from auxpm_tpu.samplers.pm_mh import make_pm_mh
 from auxpm_tpu.samplers.slice_theta import make_slice_theta, make_slice_theta_rd
 
 
-def make_aux_slice(target, particle_axis=None):
+def make_aux_slice(target, particle_axis=None, n_ess=1):
+    """The paper's method: ESS(u) then per-coordinate slice(theta).
+
+    ``n_ess`` repeats the elliptical-slice u-update per iteration.  The
+    u-updates are Cholesky-free (theta fixed -> prepare() amortised), so
+    extra repeats cost only O(S n²) estimator probes while directly
+    attacking the log L̂ autocorrelation that throttles theta mixing —
+    the cheap knob for the estimator-noise-limited regime.
+    """
     return compose(
         [
-            ("ess_u", make_ess_u(target, particle_axis)),
+            ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
             ("slice_theta", make_slice_theta(target)),
         ]
     )

@@ -23,8 +23,8 @@ stops consuming randomness once converged (SURVEY.md §3.3 build constraint).
 Per-iteration randomness comes from ``fold_in(key, iter)`` so the draw
 sequence is independent of other lanes — lanes can never desynchronise.
 
-Params:
-  max_iters: bracket-shrink cap (default 32; typical usage is 1-10 probes).
+The bracket-shrink cap is 32 (typical usage is 1-10 probes; the cap is a
+safety net — on cap-hit the state is kept, an exact no-op).
 """
 
 from __future__ import annotations
@@ -37,51 +37,38 @@ from auxpm_tpu.core.state import ChainState
 _TWO_PI = 2.0 * jnp.pi
 
 
-def make_ess_u(target, particle_axis=None):
+def make_ess_u(target, particle_axis=None, n_repeats=1):
     """``particle_axis``: mesh axis name when u is particle-sharded — the
     u-shaped draw ``v`` must then differ per shard (fold in the axis index)
-    while every other draw stays replicated across the particle group."""
+    while every other draw stays replicated across the particle group.
 
-    def step(state: ChainState, params: dict):
-        max_iters = params.get("max_iters", 32)
-        key, k_v, k_h, k_loop = jax.random.split(state.key, 4)
+    ``n_repeats`` applies the ESS update that many times per call while
+    paying ``target.prepare`` (the Gram + Cholesky for GP targets) ONCE:
+    theta is fixed throughout, so extra repeats cost only cheap estimator
+    probes.  Repeats directly attack the log L̂ autocorrelation that
+    throttles theta mixing in the estimator-noise-limited regime."""
 
+    def one_update(prepared, est_rot_p, theta, u, log_lik, key):
+        """One ESS update of u given the amortised ``prepared``."""
+        key, k_v, k_h, k_loop = jax.random.split(key, 4)
         if particle_axis is not None:
             k_v = jax.random.fold_in(k_v, jax.lax.axis_index(particle_axis))
-        v = jax.random.normal(k_v, state.u.shape, state.u.dtype)
-        log_y = state.log_lik_hat + jnp.log(
-            jax.random.uniform(k_h, (), state.u.dtype)
-        )
+        v = jax.random.normal(k_v, u.shape, u.dtype)
+        log_y = log_lik + jnp.log(jax.random.uniform(k_h, (), u.dtype))
 
-        # theta is fixed for every probe: amortise the expensive part of the
-        # estimator (Gram + Cholesky for GP targets) across the whole loop.
         # Probes carry only the ANGLE; the rotated proposal u' = u cos a +
         # v sin a is either fused into the estimator kernel
         # (target.log_lik_est_rot — Pallas on TPU, never materialising u')
         # or formed on the fly; the accepted u' is materialised ONCE after
         # the loop.
-        if target.prepare is not None:
-            prepared = target.prepare(state.theta)
-            if target.log_lik_est_rot is not None:
-                est_rot = lambda a: target.log_lik_est_rot(  # noqa: E731
-                    prepared, state.u, v, a
-                )
-            else:
-                est_rot = lambda a: target.log_lik_est_u(  # noqa: E731
-                    prepared, state.u * jnp.cos(a) + v * jnp.sin(a)
-                )
-        else:
-            est_rot = lambda a: target.log_lik_est(  # noqa: E731
-                state.theta, state.u * jnp.cos(a) + v * jnp.sin(a)
-            )
+        est_rot = lambda a: est_rot_p(prepared, theta, u, v, a)  # noqa: E731
 
-        # Initial angle and bracket.
-        a0 = jax.random.uniform(k_loop, (), state.u.dtype) * _TWO_PI
+        a0 = jax.random.uniform(k_loop, (), u.dtype) * _TWO_PI
         ll0 = est_rot(a0)
 
         def cond(carry):
             i, a, a_min, a_max, ll_p, done = carry
-            return jnp.logical_and(~done, i < max_iters)
+            return jnp.logical_and(~done, i < 32)
 
         def body(carry):
             i, a, a_min, a_max, ll_p, done = carry
@@ -89,32 +76,56 @@ def make_ess_u(target, particle_axis=None):
             a_min = jnp.where(a < 0, a, a_min)
             a_max = jnp.where(a < 0, a_max, a)
             ku = jax.random.fold_in(k_loop, i + 1)
-            a_new = a_min + (a_max - a_min) * jax.random.uniform(
-                ku, (), state.u.dtype
-            )
+            a_new = a_min + (a_max - a_min) * jax.random.uniform(ku, (), u.dtype)
             ll_new = est_rot(a_new)
-            return (
-                i + 1,
-                a_new,
-                a_min,
-                a_max,
-                ll_new,
-                ll_new > log_y,
-            )
+            return (i + 1, a_new, a_min, a_max, ll_new, ll_new > log_y)
 
         init = (jnp.int32(0), a0, a0 - _TWO_PI, a0, ll0, ll0 > log_y)
         n_shrink, a, _, _, ll_p, done = jax.lax.while_loop(cond, body, init)
 
-        u_p = state.u * jnp.cos(a) + v * jnp.sin(a)  # accepted u', once
+        u_p = u * jnp.cos(a) + v * jnp.sin(a)  # accepted u', once
         # Cap-hit safety: keep the current state (exact — a no-op move).
-        new_state = state.replace(
-            u=jnp.where(done, u_p, state.u),
-            log_lik_hat=jnp.where(done, ll_p, state.log_lik_hat),
-            key=key,
+        return (
+            jnp.where(done, u_p, u),
+            jnp.where(done, ll_p, log_lik),
+            key,
+            n_shrink,
+            done,
         )
+
+    def step(state: ChainState, params: dict):
+        # theta is fixed for every probe and repeat: amortise the expensive
+        # part of the estimator across the whole call.
+        if target.prepare is not None:
+            prepared = target.prepare(state.theta)
+            if target.log_lik_est_rot is not None:
+                est_rot_p = lambda p, th, u, v, a: target.log_lik_est_rot(  # noqa: E731
+                    p, u, v, a
+                )
+            else:
+                est_rot_p = lambda p, th, u, v, a: target.log_lik_est_u(  # noqa: E731
+                    p, u * jnp.cos(a) + v * jnp.sin(a)
+                )
+        else:
+            prepared = None
+            est_rot_p = lambda p, th, u, v, a: target.log_lik_est(  # noqa: E731
+                th, u * jnp.cos(a) + v * jnp.sin(a)
+            )
+
+        u, log_lik, key = state.u, state.log_lik_hat, state.key
+        n_shrink_total = jnp.float32(0.0)
+        moved_total = jnp.float32(0.0)
+        for _ in range(n_repeats):
+            u, log_lik, key, n_shrink, done = one_update(
+                prepared, est_rot_p, state.theta, u, log_lik, key
+            )
+            n_shrink_total = n_shrink_total + n_shrink.astype(jnp.float32)
+            moved_total = moved_total + done.astype(jnp.float32)
+
+        new_state = state.replace(u=u, log_lik_hat=log_lik, key=key)
         info = {
-            "n_shrink": n_shrink.astype(jnp.float32),
-            "moved": done.astype(jnp.float32),
+            "n_shrink": n_shrink_total / n_repeats,
+            "moved": moved_total / n_repeats,
         }
         return new_state, info
 

@@ -72,13 +72,21 @@ PARAMS = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(SAMPLERS) + ["aux_slice_noso"])
+@pytest.mark.parametrize(
+    "name", sorted(SAMPLERS) + ["aux_slice_noso", "aux_slice_ess4"]
+)
 def test_prior_invariance(name):
     target = _const_lik_target()
     if name == "aux_slice_noso":
         # shrinkage-only slice variant (max_step_out=0, Neal 2003 §4.1)
         step = SAMPLERS["aux_slice"](target)
         params = {"slice_theta": {"widths": 2.5, "max_step_out": 0}}
+    elif name == "aux_slice_ess4":
+        # repeated ESS u-updates per iteration (amortised prepare)
+        from auxpm_tpu.samplers.composite import make_aux_slice
+
+        step = make_aux_slice(target, n_ess=4)
+        params = {"slice_theta": {"widths": 2.0}}
     else:
         step = SAMPLERS[name](target)
         params = PARAMS[name]

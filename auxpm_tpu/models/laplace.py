@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from auxpm_tpu.models.likelihoods import LIKELIHOOD_GRAD_HESS
+from auxpm_tpu.ops.cholesky import robust_cholesky
 
 
 def laplace_fit(k, y, mask, likelihood="logistic", newton_iters=12,
@@ -76,7 +77,7 @@ def laplace_fit(k, y, mask, likelihood="logistic", newton_iters=12,
         g, w = grad_hess(f, y, mask)
         sw = jnp.sqrt(w)
         b_mat = eye + sw[:, None] * k * sw[None, :]
-        l_b = jnp.linalg.cholesky(b_mat)
+        l_b = robust_cholesky(b_mat)  # f32 TPU chol can NaN; escalate
         b = w * f + g
         kb = k @ b
         # a = b - W^½ B⁻¹ (W^½ K b)
@@ -93,13 +94,13 @@ def laplace_fit(k, y, mask, likelihood="logistic", newton_iters=12,
     _, w = grad_hess(f_hat, y, mask)
     sw = jnp.sqrt(w)
     b_mat = eye + sw[:, None] * k * sw[None, :]
-    l_b = jnp.linalg.cholesky(b_mat)
+    l_b = robust_cholesky(b_mat)
     swk = sw[:, None] * k  # (W^½ K)
     sol = jax.scipy.linalg.cho_solve((l_b, True), swk)
     sigma_q = k - swk.T @ sol
     sigma_q = 0.5 * (sigma_q + sigma_q.T)  # symmetrise f32 round-off
     diag_floor = chol_jitter * jnp.mean(jnp.diagonal(k))
-    chol_q = jnp.linalg.cholesky(sigma_q + diag_floor * eye)
+    chol_q = robust_cholesky(sigma_q + diag_floor * eye)
     half_logdet_q = jnp.sum(jnp.log(jnp.diagonal(chol_q)))
     return f_hat, chol_q, half_logdet_q
 

@@ -26,7 +26,8 @@ dispatches (measured 2026-08-18).
 
 Env knobs: BENCH_CHAINS, BENCH_STEPS, BENCH_WARM (window size),
 BENCH_WARM_WINDOWS, BENCH_STEP_OUT, BENCH_PROPOSAL (prior|laplace),
-BENCH_S, BENCH_ORACLE_STEPS.
+BENCH_S, BENCH_N_ESS (ESS u-update repeats per step; 4 measured optimal),
+BENCH_ORACLE_STEPS.
 
 Prints ONE JSON line:
   {"metric": "ess_per_sec_per_chip", "value": ..., "unit": "ESS/s",
@@ -51,7 +52,9 @@ os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
+# 128 chains saturate the chip (measured: 642 chain-steps/s at 128 vs
+# 545 at 256 — ESS/s is throughput/tau, so fewer-but-faster wins)
+CHAINS = int(os.environ.get("BENCH_CHAINS", 128))
 STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 WARM_STEPS = int(os.environ.get("BENCH_WARM", 25))
 WARM_WINDOWS = int(os.environ.get("BENCH_WARM_WINDOWS", 6))
@@ -59,6 +62,7 @@ ORACLE_STEPS = int(os.environ.get("BENCH_ORACLE_STEPS", 15))
 STEP_OUT = int(os.environ.get("BENCH_STEP_OUT", 0))
 PROPOSAL = os.environ.get("BENCH_PROPOSAL", "prior")
 S = int(os.environ.get("BENCH_S", 64))
+N_ESS = int(os.environ.get("BENCH_N_ESS", 4))
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 
 
@@ -79,10 +83,10 @@ def main():
 
     log(f"devices: {jax.devices()}")
     log(f"chains={CHAINS} steps={STEPS} S={S} step_out={STEP_OUT} "
-        f"proposal={PROPOSAL}")
+        f"proposal={PROPOSAL} n_ess={N_ESS}")
     x, y = load("pima")
     target = make_gp_classification(x, y, n_importance=S, proposal=PROPOSAL)
-    step = make_aux_slice(target)
+    step = make_aux_slice(target, n_ess=N_ESS)
 
     states = init_chain_states(jax.random.key(0), target, CHAINS, jitter_scale=0.3)
     # widths as a (d,) array from the start: adaptation returns an array, and
@@ -162,14 +166,17 @@ def main():
     st = OracleState(np.zeros(2), rng.standard_normal(oracle.u_shape), 0.0)
     st.log_lik_hat = oracle.log_lik_est(st.theta, st.u)
     draws = NumpyDraws(rng)
-    # warm (not timed): 2 steps
+    # warm (not timed): 2 steps.  The oracle runs the IDENTICAL kernel:
+    # N_ESS elliptical-slice u-updates then the slice theta-update.
     for _ in range(2):
-        st, _ = ess_update_u(st, oracle, draws)
+        for _ in range(N_ESS):
+            st, _ = ess_update_u(st, oracle, draws)
         st, _ = slice_update_theta(st, oracle, widths, draws,
                                    max_step_out=STEP_OUT)
     t0 = time.time()
     for _ in range(ORACLE_STEPS):
-        st, _ = ess_update_u(st, oracle, draws)
+        for _ in range(N_ESS):
+            st, _ = ess_update_u(st, oracle, draws)
         st, _ = slice_update_theta(st, oracle, widths, draws,
                                    max_step_out=STEP_OUT)
     wall_cpu = time.time() - t0

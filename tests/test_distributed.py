@@ -155,3 +155,40 @@ def test_global_adaptation_moves_widths_and_step():
     _, recs, infos = run_chains(mh_step, s2, {"step_size": 5.0}, 50)
     p2 = adapt_params({"step_size": 5.0}, recs, infos)
     assert p2["step_size"] < 5.0  # huge step -> low acceptance -> shrink
+
+
+def test_particle_sharded_laplace_estimator_matches():
+    """The Laplace-proposal estimator also decomposes over sharded particles
+    (its log_weights_u includes the per-sample density-ratio terms)."""
+    x, y = load("pima", subsample=40)
+    target = make_gp_classification(
+        x, y, n_importance=16, proposal="laplace", pad_to_tiles=False
+    )
+    sh_target, s_global = shard_target_particles(target, "particles")
+    assert s_global == 16
+
+    theta = jnp.asarray([0.1, 0.2])
+    u = jax.random.normal(jax.random.key(5), target.u_shape)
+    want = float(target.log_lik_est(theta, u))
+
+    mesh = make_mesh(n_chains_shards=1, n_particle_shards=8)
+    got = shard_map(
+        lambda u_l: sh_target.log_lik_est(theta, u_l),
+        mesh=mesh,
+        in_specs=P("particles", None),
+        out_specs=P(),
+        check_vma=False,
+    )(u)
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+
+def test_profiling_helpers():
+    """utils/profiling: timed() and cost_analysis() smoke (SURVEY.md §5)."""
+    from auxpm_tpu.utils.profiling import cost_analysis, timed
+
+    f = jax.jit(lambda a: a @ a.T)
+    a = jax.random.normal(jax.random.key(0), (128, 128))
+    dt, out = timed(f, a, reps=2)
+    assert dt > 0 and out.shape == (128, 128)
+    ca = cost_analysis(lambda a: a @ a.T, a)
+    assert ca and ca.get("flops", 0) > 0

@@ -16,6 +16,42 @@ import jax.numpy as jnp
 
 import functools
 
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def _chol_dispatch(a):
+    """Cholesky whose vmap rule collects the chain batch.
+
+    The samplers are vmapped per-chain functions, so a plain
+    ``jnp.linalg.cholesky`` inside them becomes XLA's batched Cholesky
+    (~531 GFLOP/s at B=128, n=640 on v5e).  This custom_vmap rule routes
+    the BATCHED call to the Pallas blocked factorisation
+    (ops/chol_pallas.cholesky_batched2: 793-832 GFLOP/s, 1.5-1.6x) on TPU
+    when shapes are tile-aligned; single-matrix calls and CPU stay on XLA.
+    """
+    return jnp.linalg.cholesky(a)
+
+
+@_chol_dispatch.def_vmap
+def _chol_dispatch_vmap(axis_size, in_batched, a):
+    del axis_size
+    from auxpm_tpu.ops import chol_pallas
+
+    n = a.shape[-1]
+    if (
+        chol_pallas.on_tpu()
+        and chol_pallas.pltpu is not None
+        and n % chol_pallas.BLK == 0
+        and a.ndim >= 3
+    ):
+        batch = a.shape[:-2]
+        flat = a.reshape((-1, n, n))
+        l = chol_pallas.cholesky_batched2(flat, 32).reshape(batch + (n, n))
+    else:
+        l = jnp.linalg.cholesky(a)
+    return l, in_batched[0]
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def robust_cholesky(gram, jitter0=0.0, growth=10.0, max_tries=3):
@@ -53,7 +89,7 @@ def _robust_cholesky_impl(gram, jitter0, growth, max_tries):
     def ok(l):
         return jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)).all()
 
-    l0 = jnp.linalg.cholesky(gram)
+    l0 = _chol_dispatch(gram)
 
     def cond(carry):
         i, _, l = carry
@@ -62,7 +98,7 @@ def _robust_cholesky_impl(gram, jitter0, growth, max_tries):
     def body(carry):
         i, extra, l = carry
         extra = jnp.where(extra > 0, extra * growth, base * growth)
-        return i + 1, extra, jnp.linalg.cholesky(gram + extra * eye)
+        return i + 1, extra, _chol_dispatch(gram + extra * eye)
 
     _, extra, l = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.zeros((), gram.dtype), l0)

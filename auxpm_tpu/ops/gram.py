@@ -25,8 +25,6 @@ resolved to the standard choice):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -10,8 +10,6 @@ static so recorded output has static shape.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -38,8 +38,6 @@ is right there).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

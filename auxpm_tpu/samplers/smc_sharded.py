@@ -22,8 +22,6 @@ auxiliaries (exact, needs only the scalar ll — the 1M-particle mode).
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -198,15 +198,22 @@ def make_gp_classification(
         return factory
 
     def _sigma_coord_factory(theta, u):
-        """log_sigma probes: whiten ONCE with chol(R), rescale per probe."""
+        """log_sigma probes: factor once with chol(R), rescale per probe.
+
+        Probes go through the SAME ``log_lik_est_u`` as every other
+        estimator call (fused Pallas kernel on TPU), so the carried
+        log L̂ is one fixed function of (theta, u) — a probe only pays
+        the O(S n²) whiten, never the O(n³) Cholesky.  (Round-1 advisor
+        finding: a separate jnp whiten+lse path here differed from the
+        fused kernel at the ~1e-5 level, technically breaking the
+        single-estimator exactness requirement.)
+        """
         log_ell, _ = split_theta(theta)
-        f0 = whiten(chol_r(log_ell), u)  # (S, n), sigma-independent
+        chol0 = chol_r(log_ell)  # (n, n), sigma-independent
 
         def f(xi):
             th = theta.at[n_theta - 1].set(xi)
-            fs = jnp.exp(xi) * f0
-            log_w = log_lik_fn(fs, y_dev[None, :], mask[None, :])
-            ll = logsumexp(log_w, axis=0) - log_s_fac
+            ll = log_lik_est_u(jnp.exp(xi) * chol0, u)
             return log_prior(th) + ll, ll
 
         return f, jax.vmap(f)

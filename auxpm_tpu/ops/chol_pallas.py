@@ -281,8 +281,9 @@ def tri_inv_newton(l):
     iterations terminate EXACTLY.  All work is MXU GEMMs (f32 precision)."""
     n = l.shape[-1]
     eye = jnp.eye(n, dtype=l.dtype)
-    x = eye / jnp.diagonal(l, axis1=-2, axis2=-1)[..., None, :]  # row scale
-    # x0 = diag(1/diag): eye/diag broadcasts columns; fix: want x[i,i]=1/l[i,i]
+    # x0 = diag(1/diag(L)): eye/diag[..., None, :] scales column j of the
+    # identity by 1/l[j,j], so x0[i,i] = 1/l[i,i] as required.
+    x = eye / jnp.diagonal(l, axis1=-2, axis2=-1)[..., None, :]
     steps = max(1, (n - 1).bit_length())
     for _ in range(steps):
         lx = _mm(l, x)

@@ -80,28 +80,37 @@ def robust_cholesky(gram, jitter0=0.0, growth=10.0, max_tries=3):
 def _robust_cholesky_impl(gram, jitter0, growth, max_tries):
     n = gram.shape[-1]
     eye = jnp.eye(n, dtype=gram.dtype)
+    # base is PER-MATRIX (shape = gram's batch dims, () when unbatched):
+    # escalation is independent across explicitly batched inputs, so a sick
+    # matrix never inflates the jitter of its healthy batch-mates.
+    mean_diag = jnp.mean(jnp.diagonal(gram, axis1=-2, axis2=-1), axis=-1)
     base = jnp.where(
         jnp.asarray(jitter0, gram.dtype) > 0,
-        jnp.asarray(jitter0, gram.dtype),
-        1e-6 * jnp.mean(jnp.diagonal(gram, axis1=-2, axis2=-1), axis=-1),
+        jnp.full_like(mean_diag, jitter0),
+        1e-6 * mean_diag,
     )
 
-    def ok(l):
-        return jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)).all()
+    def bad(l):
+        # per-matrix failure flag, same shape as base
+        return ~jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)).all(axis=-1)
+
+    def shift(extra):
+        return gram + extra[..., None, None] * eye
 
     l0 = _chol_dispatch(gram)
 
     def cond(carry):
         i, _, l = carry
-        return jnp.logical_and(i < max_tries, ~ok(l))
+        return jnp.logical_and(i < max_tries, bad(l).any())
 
     def body(carry):
         i, extra, l = carry
-        extra = jnp.where(extra > 0, extra * growth, base * growth)
-        return i + 1, extra, _chol_dispatch(gram + extra * eye)
+        # first escalation applies jitter0/base itself, then grows 10x
+        extra = jnp.where(bad(l), jnp.where(extra > 0, extra * growth, base), extra)
+        return i + 1, extra, _chol_dispatch(shift(extra))
 
     _, extra, l = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((), gram.dtype), l0)
+        cond, body, (jnp.int32(0), jnp.zeros_like(base), l0)
     )
     return l, extra
 
@@ -116,7 +125,9 @@ def _robust_cholesky_bwd(jitter0, growth, max_tries, res, lbar):
     n = gram.shape[-1]
     eye = jnp.eye(n, dtype=gram.dtype)
     # pullback of plain cholesky at the shifted matrix; d(shift)/d(gram)=I
-    _, pullback = jax.vjp(jnp.linalg.cholesky, gram + extra * eye)
+    _, pullback = jax.vjp(
+        jnp.linalg.cholesky, gram + extra[..., None, None] * eye
+    )
     (gbar,) = pullback(lbar)
     return (gbar,)
 

@@ -24,7 +24,9 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def distributed_init(coordinator=None, num_processes=None, process_id=None):
+def distributed_init(
+    coordinator=None, num_processes=None, process_id=None, require=False
+):
     """Multi-host bring-up (idempotent).
 
     On TPU pods the runtime autodetects everything from the environment
@@ -33,9 +35,20 @@ def distributed_init(coordinator=None, num_processes=None, process_id=None):
     other jax API touches a backend.  After this, ``jax.devices()`` spans
     all processes and ``make_mesh`` builds a global mesh; gang-scheduling
     semantics and restart-based recovery are documented in SURVEY.md §5.
+
+    ``require=True`` (set by ``--multihost`` callers) turns any bring-up
+    failure into a hard error instead of a logged skip — a pod process
+    falling back to single-host mode would silently compute on a wrong,
+    local-only mesh.
     """
-    if jax.process_count() > 1:  # already initialised
-        return
+    # Idempotence must be checked WITHOUT touching the XLA backend:
+    # jax.process_count() initialises the backend, after which
+    # jax.distributed.initialize() always raises. Inspect the distributed
+    # client state directly instead (advisor finding, round 1).
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialised
     kw = {}
     if coordinator is not None:
         kw = dict(
@@ -43,9 +56,15 @@ def distributed_init(coordinator=None, num_processes=None, process_id=None):
             num_processes=num_processes,
             process_id=process_id,
         )
+        require = True
     try:
         jax.distributed.initialize(**kw)
-    except Exception as e:  # single-process/dev environments
+    except Exception as e:
+        # Only swallow the single-process/dev case; an explicitly requested
+        # multi-host bring-up that fails must fail LOUDLY, otherwise each
+        # process silently runs as an independent single-host job.
+        if require:
+            raise
         import logging
 
         logging.getLogger("auxpm_tpu").info(f"distributed init skipped: {e}")

@@ -63,7 +63,7 @@ def main(argv=None):
         # must run before any backend use (parallel/mesh.py docstring)
         from auxpm_tpu.parallel.mesh import distributed_init
 
-        distributed_init()
+        distributed_init(require=True)
 
     import jax
 

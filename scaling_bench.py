@@ -69,7 +69,7 @@ def main(argv=None):
     if args.multihost:
         from auxpm_tpu.parallel.mesh import distributed_init
 
-        distributed_init()
+        distributed_init(require=True)
         import jax
     elif args.real_devices:
         import jax

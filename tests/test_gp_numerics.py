@@ -165,3 +165,29 @@ def test_robust_cholesky_escalates_and_differentiates():
     g = jax.grad(lambda m: jnp.sum(robust_cholesky(m)))(k2)
     g_ref = jax.grad(lambda m: jnp.sum(jnp.linalg.cholesky(m)))(k2)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_robust_cholesky_explicit_batch():
+    """Explicitly batched (B, n, n) input with jitter0=0 (round-1 advisor
+    finding: the escalation carry used to be scalar and broke at trace time);
+    escalation must be PER-MATRIX: a sick batch member gets jitter, its
+    healthy batch-mates keep the exact factor."""
+    from auxpm_tpu.ops.cholesky import robust_cholesky
+
+    n = 64
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    good = a @ a.T + n * np.eye(n, dtype=np.float32)
+    sick = np.ones((n, n), np.float32) + 1e-8 * np.eye(n, dtype=np.float32)
+    batch = jnp.asarray(np.stack([good, sick]))
+
+    l = jax.jit(robust_cholesky)(batch)  # jitter0=0 default
+    assert bool(jnp.isfinite(l).all())
+    # healthy member: exactly the plain factor (no jitter applied to it)
+    np.testing.assert_array_equal(
+        np.asarray(l[0]), np.asarray(jnp.linalg.cholesky(batch[0]))
+    )
+    # sick member: valid factor of a slightly-shifted matrix
+    np.testing.assert_allclose(
+        np.asarray(l[1] @ l[1].T), sick, atol=1e-3
+    )

@@ -21,8 +21,9 @@ Distributed scheme (SURVEY.md §2.3 "Distributed resampling"): inside
 4. source particles are fetched with one ``all_gather`` of the (small)
    particle payload — theta and log-lik only; O(N (d+1)) bytes, 12 MB at
    1M particles, far below the all-to-all alternative's bookkeeping.
-   (A ppermute ring exchange for u-carrying particles is future work;
-   huge-N SMC uses the u-refresh rejuvenation mode instead — see smc.py.)
+   (Huge-N SMC avoids transporting u entirely: the carry_u=False mode in
+   samplers/smc_sharded.py stores u as its generating PRNG key, so the
+   payload stays O(N (d+5)) words even at 1M GP particles.)
 """
 
 from __future__ import annotations

@@ -190,10 +190,26 @@ def _run_smc(cfg, target, metrics, key):
         from auxpm_tpu.parallel.mesh import make_mesh
         from auxpm_tpu.samplers.smc_sharded import make_smc_sharded
 
+        if not cfg.smc_carry_u:
+            # the 1M-particle mode needs a theta-only rejuvenation kernel
+            # (the stage's own independence-MH refresh handles u)
+            from auxpm_tpu.samplers.composite import THETA_ONLY
+
+            kind = {
+                "aux_nuts": "nuts",
+                "aux_hmc": "hmc",
+                "aux_mh": "mh_theta",
+                "aux_slice": "slice_theta",
+                "aux_slice_rd": "slice_theta",
+            }.get(cfg.smc_rejuvenation, cfg.smc_rejuvenation)
+            rejuv = THETA_ONLY[kind]
+
         mesh = make_mesh(n_particle_shards=1)
         run = make_smc_sharded(
             target, rejuv, cfg.particles, mesh,
             n_mcmc=cfg.smc_n_mcmc, ess_frac=cfg.smc_ess_frac,
+            carry_u=cfg.smc_carry_u, n_u_mh=cfg.smc_n_u_mh,
+            rejuv_batch=cfg.smc_rejuv_batch,
         )
     else:
         run = make_smc(
@@ -213,6 +229,8 @@ def _run_smc(cfg, target, metrics, key):
         "posterior_mean": np.round(theta.mean(0), 4).tolist(),
         "posterior_std": np.round(theta.std(0), 4).tolist(),
     }
+    if "u_mh_accept" in diag:
+        summary["u_mh_accept"] = [round(a, 3) for a in diag["u_mh_accept"]]
     metrics.write(summary)
     print(json.dumps(summary))
     if cfg.out:

@@ -70,6 +70,38 @@ def make_aux_nuts(target, particle_axis=None):
     )
 
 
+def _make_theta_only(kind):
+    """theta | u kernels with NO u-update — the rejuvenation contract of the
+    carry_u=False sharded SMC mode (samplers/smc_sharded.py), where u is
+    represented implicitly by its generating PRNG key and only an
+    independence-MH refresh (inside the SMC stage) may change it."""
+
+    def factory(target, particle_axis=None):
+        del particle_axis  # theta probes pay the full estimator path anyway
+        if kind == "slice_theta":
+            t = make_slice_theta(target)
+        elif kind == "mh_theta":
+            t = make_mh_theta(target)
+        elif kind == "nuts":
+            from auxpm_tpu.samplers.nuts import make_nuts
+
+            t = make_nuts(target)
+        elif kind == "hmc":
+            from auxpm_tpu.samplers.hmc import make_hmc
+
+            t = make_hmc(target)
+        else:
+            raise ValueError(f"unknown theta-only kernel {kind!r}")
+        return compose([(kind, t)])
+
+    return factory
+
+
+# Rejuvenation factories that hold u fixed (for smc_sharded carry_u=False).
+THETA_ONLY = {
+    k: _make_theta_only(k) for k in ("slice_theta", "mh_theta", "nuts", "hmc")
+}
+
 SAMPLERS = {
     "pm_mh": make_pm_mh,
     "aux_slice": make_aux_slice,

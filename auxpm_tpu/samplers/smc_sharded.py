@@ -13,11 +13,25 @@ entirely inside one ``shard_map``-under-jit call:
 - rejuvenation: local vmap of the tempered transition; population std for
   kernel scaling via pmean moments.
 
-The u block travels with its particle through resampling (the joint-space
-view requires (theta, u, ll) to move together).  The payload all_gather is
-O(N * (S n + d)) — fine up to ~10^5 GP particles; beyond that, set
-``carry_u=False`` to use fresh-u independence-MH rejuvenation of the
-auxiliaries (exact, needs only the scalar ll — the 1M-particle mode).
+Two particle layouts, selected by ``carry_u``:
+
+``carry_u=True`` (default, exact up to ~10^5 GP particles): the u block
+travels with its particle through resampling — the joint-space view moves
+(theta, u, ll) together; the payload all_gather is O(N * (S n + d)).
+
+``carry_u=False`` (the 1M-particle mode): u is never materialised across
+stages.  Each particle stores the PRNG key that GENERATED its u — the
+invariant ``u == normal(u_key, u_shape)`` makes transporting the 2-word key
+equivalent to transporting the whole (S, n) block, so resampling moves only
+``(theta, log_lik, u_key, key)`` = O(N (d+5)) words (~36 MB/device at 1M
+GP particles vs ~160 TB for materialised u).  The invariant is preserved by
+restricting the moves that touch u to an *independence* MH refresh
+``u' ~ N(0, I)`` accepted w.p. ``min(1, exp(beta (ll' - ll)))`` — exactly
+pi_beta(u | theta)-invariant, and on acceptance the new u is a fresh draw
+whose key we store; on rejection the old key stands.  theta-rejuvenation
+then uses a theta-only kernel (``composite.THETA_ONLY``: slice/MH/NUTS/HMC
+on theta | u) with u re-materialised locally in fixed-size particle chunks
+(``rejuv_batch``) so peak memory is O(chunk * S * n), never O(N S n).
 """
 
 from __future__ import annotations
@@ -63,6 +77,41 @@ def _next_beta_global(ll_local, beta, ess_frac, n_global, axis, n_bisect=30):
     return jnp.where(full >= target, jnp.asarray(1.0, ll_local.dtype), lo)
 
 
+def _default_rejuvenation_params(target):
+    def rejuvenation_params(std):
+        return {
+            "slice_theta": {"widths": 2.0 * std},
+            "mh_theta": {"step_size": 2.38 * jnp.mean(std) / np.sqrt(target.d)},
+            "nuts": {"step_size": 0.5 * jnp.mean(std)},
+            "hmc": {"step_size": 0.5 * jnp.mean(std)},
+        }
+
+    return rejuvenation_params
+
+
+def _chunk_size(n_local, rejuv_batch):
+    """Largest divisor of n_local that is <= rejuv_batch (static)."""
+    chunk = max(1, min(int(rejuv_batch), n_local))
+    while n_local % chunk:
+        chunk -= 1
+    return chunk
+
+
+def _chunked_map(fn, args, n_local, chunk):
+    """scan-of-vmap over fixed-size particle chunks: bounds peak memory at
+    O(chunk) particle working set instead of O(n_local)."""
+    n_chunks = n_local // chunk
+
+    def resh(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    def body(_, chunk_args):
+        return None, jax.vmap(fn)(*chunk_args)
+
+    _, outs = jax.lax.scan(body, None, tuple(resh(a) for a in args))
+    return jax.tree.map(lambda x: x.reshape((n_local,) + x.shape[2:]), outs)
+
+
 def make_smc_sharded(
     target,
     make_rejuvenation,
@@ -72,28 +121,39 @@ def make_smc_sharded(
     ess_frac=0.5,
     max_stages=100,
     rejuvenation_params=None,
+    carry_u=True,
+    n_u_mh=2,
+    rejuv_batch=256,
 ):
     """Sharded analogue of ``smc.make_smc``; same semantics, same PRNG
-    discipline per particle, population sharded over the mesh."""
+    discipline per particle, population sharded over the mesh.
+
+    Args:
+      carry_u: True — particles materialise and transport their u block
+        (exact joint-space SMC; payload O(N S n)).  False — the 1M-particle
+        mode: u is stored as its generating PRNG key, refreshed by ``n_u_mh``
+        independence-MH proposals per stage, and ``make_rejuvenation`` MUST
+        build a theta-only kernel (``composite.THETA_ONLY``; a u-updating
+        kernel like aux_slice would silently break the key↔u invariant).
+      n_u_mh: independence-MH u-refresh proposals per stage (carry_u=False).
+      rejuv_batch: particle chunk size for re-materialising u during
+        rejuvenation (carry_u=False); peak memory O(rejuv_batch * S * n).
+    """
     n_shards = mesh.shape[_AXIS] * mesh.shape.get("particles", 1)
     if mesh.shape.get("particles", 1) != 1:
         raise ValueError("smc_sharded uses a flat mesh: particles axis must be 1")
     if n_particles % n_shards:
         raise ValueError(f"{n_particles} particles not divisible by {n_shards}")
+    n_local = n_particles // n_shards
 
     if rejuvenation_params is None:
-
-        def rejuvenation_params(std):
-            return {
-                "slice_theta": {"widths": 2.0 * std},
-                "mh_theta": {"step_size": 2.38 * jnp.mean(std) / np.sqrt(target.d)},
-                "nuts": {"step_size": 0.5 * jnp.mean(std)},
-                "hmc": {"step_size": 0.5 * jnp.mean(std)},
-            }
+        rejuvenation_params = _default_rejuvenation_params(target)
 
     spec = ChainState(theta=P(_AXIS), u=P(_AXIS), log_lik_hat=P(_AXIS), key=P(_AXIS))
 
-    def _stage_local(states, beta, u01, k_rej):
+    def _resample_and_params(states, beta, u01, k_rej):
+        """Shared head of both stage variants: adaptive beta, logZ increment,
+        distributed systematic resample, fresh keys, population-std params."""
         ll = states.log_lik_hat
         beta_new = _next_beta_global(ll, beta, ess_frac, n_particles, _AXIS)
         delta = beta_new - beta
@@ -105,19 +165,26 @@ def make_smc_sharded(
         idx = distributed_systematic_resample_indices(log_w, u01, _AXIS)
         states = gather_resampled(states, idx, _AXIS)
 
-        # fresh per-particle keys (decorrelate copies); shard-distinct
+        # fresh per-particle keys (decorrelate copies), keyed by GLOBAL slot
+        # index so the stage is mesh-shape independent
         shard = jax.lax.axis_index(_AXIS)
-        n_local = ll.shape[0]
-        base = jax.random.fold_in(k_rej, shard)
-        states = states.replace(key=jax.random.split(base, n_local))
+        g = shard * n_local + jnp.arange(n_local)
+        states = states.replace(key=jax.vmap(jax.random.fold_in, (None, 0))(k_rej, g))
 
         # global population std for kernel scaling
         mean = jax.lax.pmean(jnp.mean(states.theta, axis=0), _AXIS)
-        var = jax.lax.pmean(
-            jnp.mean((states.theta - mean) ** 2, axis=0), _AXIS
-        )
+        var = jax.lax.pmean(jnp.mean((states.theta - mean) ** 2, axis=0), _AXIS)
         std = jnp.sqrt(var) + 1e-6
         params = rejuvenation_params(std)
+        return states, beta_new, log_z_inc, params
+
+    # ------------------------------------------------------------------
+    # carry_u=True: materialised u travels with its particle
+    # ------------------------------------------------------------------
+    def _stage_local(states, beta, u01, k_rej):
+        states, beta_new, log_z_inc, params = _resample_and_params(
+            states, beta, u01, k_rej
+        )
 
         t_beta = tempered_target(target, beta_new)
         transition = make_rejuvenation(t_beta)
@@ -135,17 +202,104 @@ def make_smc_sharded(
             return s.replace(log_lik_hat=s.log_lik_hat / beta_new)
 
         states = jax.vmap(one)(states)
-        return states, beta_new, log_z_inc
+        return states, beta_new, log_z_inc, jnp.zeros((), states.theta.dtype)
+
+    # ------------------------------------------------------------------
+    # carry_u=False: u implicit in its generating key (the 1M-particle mode)
+    # ------------------------------------------------------------------
+    u_dtype = jnp.result_type(float)
+
+    def _materialize_u(u_key_data):
+        return jax.random.normal(
+            jax.random.wrap_key_data(u_key_data), target.u_shape, u_dtype
+        )
+
+    def _ll_of(theta, u):
+        return target.log_lik_est(theta, u)
+
+    def _stage_local_light(states, beta, u01, k_rej):
+        # states.u holds raw key DATA (uint32 words) per particle
+        states, beta_new, log_z_inc, params = _resample_and_params(
+            states, beta, u01, k_rej
+        )
+
+        t_beta = tempered_target(target, beta_new)
+        transition = make_rejuvenation(t_beta)
+        if hasattr(transition, "stage_names"):
+            params = {k: v for k, v in params.items() if k in transition.stage_names}
+
+        chunk = _chunk_size(n_local, rejuv_batch)
+
+        def one(theta, ll, u_key_data, key):
+            k_imh, k_theta = jax.random.split(key)
+
+            # --- u-refresh: independence MH, pi_beta(u | theta)-invariant.
+            # Amortise the theta-only precomputation (GP: Gram + Cholesky)
+            # across the n_u_mh proposals.
+            if target.prepare is not None and target.log_lik_est_u is not None:
+                prepared = target.prepare(theta)
+                est = lambda u: target.log_lik_est_u(prepared, u)  # noqa: E731
+            else:
+                est = lambda u: _ll_of(theta, u)  # noqa: E731
+
+            def imh_body(carry, j):
+                u_kd, ll_cur = carry
+                kj = jax.random.fold_in(k_imh, j)
+                k_prop, k_acc = jax.random.split(kj)
+                u_prop = jax.random.normal(k_prop, target.u_shape, u_dtype)
+                ll_prop = est(u_prop)
+                log_a = beta_new * (ll_prop - ll_cur)
+                acc = jnp.log(jax.random.uniform(k_acc, (), ll_cur.dtype)) < log_a
+                u_kd = jnp.where(acc, jax.random.key_data(k_prop), u_kd)
+                ll_cur = jnp.where(acc, ll_prop, ll_cur)
+                return (u_kd, ll_cur), acc
+
+            (u_key_data, ll), accs = jax.lax.scan(
+                imh_body, (u_key_data, ll), jnp.arange(n_u_mh)
+            )
+
+            # --- theta-rejuvenation with u held FIXED (theta-only kernel)
+            s = ChainState(
+                theta=theta,
+                u=_materialize_u(u_key_data),
+                log_lik_hat=beta_new * ll,
+                key=k_theta,
+            )
+
+            def body(s, _):
+                s, info = transition(s, params)
+                return s, info
+
+            s, _infos = jax.lax.scan(body, s, None, length=n_mcmc)
+            return (
+                s.theta,
+                s.log_lik_hat / beta_new,
+                u_key_data,
+                s.key,
+                jnp.mean(accs.astype(u_dtype)),
+            )
+
+        theta, ll, ukd, keys, u_acc = _chunked_map(
+            one,
+            (states.theta, states.log_lik_hat, states.u, states.key),
+            n_local,
+            chunk,
+        )
+        states = ChainState(theta=theta, u=ukd, log_lik_hat=ll, key=keys)
+        u_acc = jax.lax.pmean(jnp.mean(u_acc), _AXIS)
+        return states, beta_new, log_z_inc, u_acc
+
+    stage_local = _stage_local_light if not carry_u else _stage_local
 
     @jax.jit
     def stage(states, beta, key):
         k_res, k_rej = jax.random.split(key)
         u01 = jax.random.uniform(k_res, (), states.log_lik_hat.dtype)
         return shard_map(
-            lambda s: _stage_local(s, beta, u01, k_rej),
+            lambda s: stage_local(s, beta, u01, k_rej),
             mesh=mesh,
             in_specs=(spec,),
-            out_specs=(spec, P(), P()),
+            out_specs=(spec, P(), P(), P()),
             check_vma=False,
         )(states)
 
@@ -173,19 +327,52 @@ def make_smc_sharded(
             is_leaf=lambda x: isinstance(x, P),
         )
 
+    def _init_prior_light(key):
+        """Sharded, chunked init: never materialises more than one chunk of
+        u per device.  Each particle's state is a pure function of (key,
+        global slot index), so the init is mesh-shape independent."""
+        if target.sample_prior is None:
+            raise ValueError(f"SMC needs target.sample_prior ({target.name})")
+
+        chunk = _chunk_size(n_local, rejuv_batch)
+
+        def one(g):
+            k = jax.random.fold_in(key, g)
+            k_t, k_u, k_carry = jax.random.split(k, 3)
+            theta = target.sample_prior(k_t)
+            u_kd = jax.random.key_data(k_u)
+            ll = _ll_of(theta, _materialize_u(u_kd))
+            return theta, ll, u_kd, k_carry
+
+        def local():
+            shard = jax.lax.axis_index(_AXIS)
+            g = shard * n_local + jnp.arange(n_local)
+            theta, ll, ukd, keys = _chunked_map(one, (g,), n_local, chunk)
+            return ChainState(theta=theta, u=ukd, log_lik_hat=ll, key=keys)
+
+        return shard_map(
+            local, mesh=mesh, in_specs=(), out_specs=spec, check_vma=False
+        )()
+
+    init_prior = _init_prior_light if not carry_u else _init_prior
+
     def run(key):
         k_init, k_loop = jax.random.split(key)
-        states = jax.jit(_init_prior)(k_init)
+        states = jax.jit(init_prior)(k_init)
         beta = jnp.asarray(0.0, states.theta.dtype)
-        log_z, betas = 0.0, [0.0]
+        log_z, betas, u_accs = 0.0, [0.0], []
         for s in range(max_stages):
-            states, beta, log_z_inc = stage(
+            states, beta, log_z_inc, u_acc = stage(
                 states, beta, jax.random.fold_in(k_loop, s)
             )
             log_z += float(log_z_inc)
             betas.append(float(beta))
+            u_accs.append(float(u_acc))
             if betas[-1] >= 1.0:
                 break
-        return states, {"log_z": log_z, "betas": betas, "n_stages": len(betas) - 1}
+        diag = {"log_z": log_z, "betas": betas, "n_stages": len(betas) - 1}
+        if not carry_u:
+            diag["u_mh_accept"] = u_accs
+        return states, diag
 
     return run

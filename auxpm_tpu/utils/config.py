@@ -39,6 +39,13 @@ class RunConfig:
     smc_rejuvenation: str = "aux_slice"  # aux_slice | aux_nuts | aux_hmc
     smc_n_mcmc: int = 2
     smc_ess_frac: float = 0.5
+    # carry_u=False (sharded only) = the 1M-particle mode: u stays implicit
+    # in its generating PRNG key; resampling moves O(N d) bytes; u refreshed
+    # by smc_n_u_mh independence-MH proposals per stage; theta rejuvenated by
+    # the theta-only counterpart of smc_rejuvenation (aux_nuts -> nuts).
+    smc_carry_u: bool = True
+    smc_n_u_mh: int = 2
+    smc_rejuv_batch: int = 256
     # parallel
     sharded: bool = False
     particle_shards: int = 1
@@ -118,7 +125,9 @@ PRESETS = {
     ),
     # config 5: "SMC with 1M particles sharded over a v4 pod slice:
     # distributed resampling + NUTS rejuvenation on GP hyperparameters"
-    # (particle count is per-run: 1M needs the pod; default fits one chip)
+    # (particle count is per-run: 1M needs the pod; default fits one chip).
+    # carry_u=False is what makes 1M real: resampling transports O(N d)
+    # bytes instead of O(N S n) — see samplers/smc_sharded.py.
     "smc_gp_nuts": RunConfig(
         preset="smc_gp_nuts",
         target="gp",
@@ -128,6 +137,7 @@ PRESETS = {
         smc_rejuvenation="aux_nuts",
         particles=4096,
         sharded=True,
+        smc_carry_u=False,
     ),
     "smc_toy": RunConfig(
         preset="smc_toy",

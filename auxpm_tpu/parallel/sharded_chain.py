@@ -35,17 +35,26 @@ from auxpm_tpu.core.state import ChainState
 from auxpm_tpu.samplers.chain import _scan_chain
 
 
-def state_pspec(shard_particles=False):
-    """PartitionSpec pytree for a batched ChainState."""
+def state_pspec(shard_particles=False, extras=None):
+    """PartitionSpec pytree for a batched ChainState.
+
+    ``extras`` mirrors the state's extras dict (per-chain scalars, e.g. the
+    in-scan dual-averaging fields from samplers/adaptation.py) — every entry
+    shards over 'chains'.
+    """
     pu = P("chains", "particles") if shard_particles else P("chains")
     return ChainState(
-        theta=P("chains"), u=pu, log_lik_hat=P("chains"), key=P("chains")
+        theta=P("chains"),
+        u=pu,
+        log_lik_hat=P("chains"),
+        key=P("chains"),
+        extras={k: P("chains") for k in (extras or {})},
     )
 
 
 def shard_states(states, mesh, shard_particles=False):
     """Place a batched ChainState according to the mesh."""
-    spec = state_pspec(shard_particles)
+    spec = state_pspec(shard_particles, states.extras)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         states,
@@ -70,7 +79,7 @@ def run_chains_sharded(
     """Sharded analogue of ``samplers.chain.run_chains`` (no u recording)."""
     if n_steps % thin:
         raise ValueError(f"n_steps={n_steps} not divisible by thin={thin}")
-    spec = state_pspec(shard_particles)
+    spec = state_pspec(shard_particles, states.extras)
     rec_spec = {"theta": P("chains"), "log_lik_hat": P("chains")}
     info_spec = P("chains")
 

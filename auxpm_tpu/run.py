@@ -94,25 +94,29 @@ def main(argv=None):
         states = shard_states(states, mesh)
         step = SAMPLERS[cfg.sampler](target)
 
-        def run_fn(s, p, n):
-            return run_chains_sharded(step, s, p, n, mesh)
+        def run_step_fn(t, s, p, n):
+            return run_chains_sharded(t, s, p, n, mesh)
 
     else:
         step = SAMPLERS[cfg.sampler](target)
 
-        def run_fn(s, p, n):
-            return run_chains(step, s, p, n, thin=cfg.thin)
+        def run_step_fn(t, s, p, n):
+            return run_chains(t, s, p, n, thin=cfg.thin)
 
-    # warmup with global adaptation
+    def run_fn(s, p, n):
+        return run_step_fn(step, s, p, n)
+
+    # warmup with global adaptation: in-scan dual averaging + diagonal mass
+    # for HMC/NUTS groups; Robbins-Monro / width heuristics for the rest
+    from auxpm_tpu.samplers.adaptation import warmup
+
     t0 = time.time()
-    for w in range(cfg.warmup_windows):
-        states, recs, infos = run_fn(states, params, cfg.window_steps)
-        jax.block_until_ready(states.theta)
-        params = adapt_params(params, recs, infos)
-        metrics.write(
-            {"phase": "warmup", "window": w,
-             **{k: float(np.asarray(v).mean()) for k, v in infos.items()}}
-        )
+    states, params, history = warmup(
+        run_step_fn, states, params, cfg.warmup_windows, cfg.window_steps,
+        step=step,
+    )
+    for h in history:
+        metrics.write({"phase": "warmup", **h})
     logger.info(f"warmup done in {time.time()-t0:.1f}s; params={params}")
 
     # main run, windowed (optionally under a profiler trace)

@@ -108,13 +108,15 @@ def make_smc(
     stage count.
     """
     if rejuvenation_params is None:
-
+        # population-var mass matrix for HMC/NUTS: see
+        # smc_sharded._default_rejuvenation_params
         def rejuvenation_params(std):
+            var = std * std
             return {
                 "slice_theta": {"widths": 2.0 * std},
                 "mh_theta": {"step_size": 2.38 * jnp.mean(std) / np.sqrt(target.d)},
-                "nuts": {"step_size": 0.5 * jnp.mean(std)},
-                "hmc": {"step_size": 0.5 * jnp.mean(std)},
+                "nuts": {"step_size": 0.5, "inv_mass": var},
+                "hmc": {"step_size": 0.5, "inv_mass": var},
             }
 
     @jax.jit

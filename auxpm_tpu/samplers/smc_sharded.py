@@ -78,12 +78,19 @@ def _next_beta_global(ll_local, beta, ess_frac, n_global, axis, n_bisect=30):
 
 
 def _default_rejuvenation_params(target):
+    """Population-adaptive kernel hyperparameters: the particle cloud is a
+    free posterior-moment estimate, so HMC/NUTS get a diagonal mass matrix
+    ``inv_mass = population var`` (the SMC analogue of the chain-warmup mass
+    adaptation in samplers/adaptation.py) — the conditioned target then has
+    ~unit scale and a fixed O(1) step size works across stages."""
+
     def rejuvenation_params(std):
+        var = std * std
         return {
             "slice_theta": {"widths": 2.0 * std},
             "mh_theta": {"step_size": 2.38 * jnp.mean(std) / np.sqrt(target.d)},
-            "nuts": {"step_size": 0.5 * jnp.mean(std)},
-            "hmc": {"step_size": 0.5 * jnp.mean(std)},
+            "nuts": {"step_size": 0.5, "inv_mass": var},
+            "hmc": {"step_size": 0.5, "inv_mass": var},
         }
 
     return rejuvenation_params

@@ -111,3 +111,63 @@ def test_aux_nuts_toy_posterior():
         np.asarray(target.posterior_cov, np.float64),
         "aux_nuts",
     )
+
+
+def test_dual_averaging_warmup_mvn():
+    """Dual averaging self-tunes NUTS from a terrible step size on an
+    anisotropic MVN; the mass-matrix warmup learns the scales (SURVEY.md
+    §2.2 'dual-averaging step-size adaptation')."""
+    from auxpm_tpu.samplers.adaptation import warmup
+
+    mean = np.array([0.0, 0.0, 0.0])
+    cov = np.diag([25.0, 1.0, 0.04])  # 25:1 scale ratio per axis
+    target = make_mvn_target(mean, cov)
+    states = init_chain_states(jax.random.key(2), target, 64, jitter_scale=1.0)
+    from auxpm_tpu.samplers.composite import THETA_ONLY
+
+    step = THETA_ONLY["nuts"](target)
+
+    def run_fn(t, s, p, n):
+        return run_chains(t, s, p, n)
+
+    params = {"nuts": {"step_size": 5.0}}  # hopeless start
+    states, params, _hist = warmup(run_fn, states, params, 4, 60, step=step)
+
+    # learned mass ~ posterior variances; step frozen at eps_bar
+    inv_mass = np.asarray(params["nuts"]["inv_mass"])
+    ratio = inv_mass / np.diag(cov)
+    assert np.all(ratio > 0.33) and np.all(ratio < 3.0), inv_mass
+    eps = params["nuts"]["step_size"]
+    assert 0.05 < eps < 5.0, eps
+
+    # frozen kernel achieves the target acceptance, no divergences
+    _, recs, infos = run_chains(step, states, params, 400)
+    acc = float(np.asarray(infos["nuts/accept_prob"]).mean())
+    assert acc > 0.6, acc
+    assert float(np.asarray(infos["nuts/diverged"]).sum()) == 0.0
+    _moment_check(np.asarray(recs["theta"])[:, 100:, :], mean, cov, "da_nuts")
+
+
+def test_dual_averaging_warmup_gp_nuts():
+    """VERDICT r1 item 4 done-criterion: NUTS on the GP target self-tunes
+    from step_size=1.0 to >=0.6 mean accept statistic with zero
+    divergences."""
+    from auxpm_tpu.samplers.adaptation import warmup
+
+    x, y = load("pima", subsample=48)
+    target = make_gp_classification(
+        x, y, n_importance=8, pad_to_tiles=False, name="gp_da"
+    )
+    states = init_chain_states(jax.random.key(3), target, 16, jitter_scale=0.3)
+    step = make_aux_nuts(target)
+
+    def run_fn(t, s, p, n):
+        return run_chains(t, s, p, n)
+
+    params = {"nuts": {"step_size": 1.0}}
+    states, params, _ = warmup(run_fn, states, params, 3, 25, step=step)
+
+    _, _, infos = run_chains(step, states, params, 50)
+    acc = float(np.asarray(infos["nuts/accept_prob"]).mean())
+    assert acc >= 0.6, (acc, params["nuts"])
+    assert float(np.asarray(infos["nuts/diverged"]).sum()) == 0.0

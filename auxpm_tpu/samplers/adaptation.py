@@ -199,6 +199,13 @@ def adapt_params(params, recs, infos, target_accept=0.234, lr=1.0,
         g["widths"] = jnp.asarray(widths, np.float32)
         new["slice_theta"] = g
 
+    if any(k.startswith("joint_slice/") for k in infos):
+        # scalar bracket along a random unit direction: mean posterior std
+        stds = np.asarray(_global_moments(recs["theta"]))
+        g = dict(new.get("joint_slice", {}))
+        g["width"] = float(np.clip(width_scale * stds.mean(), *width_bounds))
+        new["joint_slice"] = g
+
     return new
 
 

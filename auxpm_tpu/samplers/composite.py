@@ -54,6 +54,39 @@ def make_aux_mh(target, particle_axis=None):
     )
 
 
+def make_joint_slice_kernel(target, particle_axis=None):
+    """Pure joint (theta, u) slice updates (samplers/joint_slice.py) — the
+    paper's joint-update family on its own."""
+    from auxpm_tpu.samplers.joint_slice import make_joint_slice
+
+    del particle_axis
+    return compose([("joint_slice", make_joint_slice(target))])
+
+
+def make_joint_mh_kernel(target, particle_axis=None):
+    """Joint RW-MH on theta + pCN rotation on u (correlated pseudo-marginal
+    MH; rho=pi/2 recovers classic PM-MH)."""
+    from auxpm_tpu.samplers.joint_slice import make_joint_mh
+
+    del particle_axis
+    return compose([("joint_mh", make_joint_mh(target))])
+
+
+def make_aux_slice_joint(target, particle_axis=None, n_ess=1):
+    """aux_slice with a joint (theta, u) random-direction move appended —
+    attacks cross-coordinate posterior correlation AND the theta–log L-hat
+    coupling in one extra probe sequence per step."""
+    from auxpm_tpu.samplers.joint_slice import make_joint_slice
+
+    return compose(
+        [
+            ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
+            ("slice_theta", make_slice_theta(target)),
+            ("joint_slice", make_joint_slice(target)),
+        ]
+    )
+
+
 def make_aux_hmc(target, particle_axis=None):
     from auxpm_tpu.samplers.hmc import make_hmc
 
@@ -106,7 +139,10 @@ SAMPLERS = {
     "pm_mh": make_pm_mh,
     "aux_slice": make_aux_slice,
     "aux_slice_rd": make_aux_slice_rd,
+    "aux_slice_joint": make_aux_slice_joint,
     "aux_mh": make_aux_mh,
     "aux_hmc": make_aux_hmc,
     "aux_nuts": make_aux_nuts,
+    "joint_slice": make_joint_slice_kernel,
+    "joint_mh": make_joint_mh_kernel,
 }

@@ -87,3 +87,58 @@ def test_aux_slice_fixes_sticking():
     assert mf_aux > 0.9, mf_aux  # slice moves essentially every iteration
     assert mf_mh < 0.5, mf_mh  # noisy-estimator PM-MH sticks
     assert mf_aux > 2 * mf_mh
+
+
+def test_joint_slice_recovers_posterior():
+    """The paper's joint (theta, u) update family (SURVEY §2.1 row 9,
+    samplers/joint_slice.py): pure joint slice moves alone must be ergodic
+    and exact on the toy (the u-rotation coupled to the theta direction
+    refreshes the estimator as theta moves)."""
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.3)
+    theta, infos = _run(
+        "joint_slice",
+        target,
+        {"joint_slice": {"width": 2.0, "angle_scale": 1.2}},
+        seed=3,
+    )
+    _check_moments(theta, target, "joint_slice")
+    assert float(np.asarray(infos["joint_slice/moved"]).mean()) > 0.9
+
+
+def test_joint_mh_recovers_posterior_and_fixes_sticking():
+    """Joint RW-MH + pCN-u: exact on the toy; with a noisy estimator the
+    correlated u proposal (small rho) must keep the chain moving where
+    fresh-u PM-MH sticks."""
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.3)
+    theta, infos = _run(
+        "joint_mh", target, {"joint_mh": {"step_size": 0.8, "rho": 0.7}}, seed=4
+    )
+    _check_moments(theta, target, "joint_mh")
+
+    # sticking comparison on a noisy estimator (cf. test_aux_slice_fixes_sticking)
+    noisy = make_gaussian_toy(n_importance=2, noise_frac=0.05)
+    _, infos_pm = _run(
+        "pm_mh", noisy, {"pm_mh": {"step_size": 0.6}}, n_steps=800, burn=0, seed=5
+    )
+    _, infos_jm = _run(
+        "joint_mh",
+        noisy,
+        {"joint_mh": {"step_size": 0.6, "rho": 0.15}},
+        n_steps=800,
+        burn=0,
+        seed=5,
+    )
+    acc_pm = float(np.asarray(infos_pm["accept"]).mean())
+    acc_jm = float(np.asarray(infos_jm["joint_mh/accept"]).mean())
+    assert acc_jm > 2.0 * acc_pm, (acc_jm, acc_pm)
+
+
+def test_aux_slice_joint_recovers_posterior():
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.3)
+    theta, _ = _run(
+        "aux_slice_joint",
+        target,
+        {"slice_theta": {"widths": 2.0}, "joint_slice": {"width": 2.0}},
+        seed=6,
+    )
+    _check_moments(theta, target, "aux_slice_joint")

@@ -68,9 +68,15 @@ PARAMS = {
     "pm_mh": {"pm_mh": {"step_size": 0.8}},
     "aux_slice": {"slice_theta": {"widths": 2.0}},
     "aux_slice_rd": {"slice_theta": {"widths": 2.0}},
+    "aux_slice_joint": {
+        "slice_theta": {"widths": 2.0},
+        "joint_slice": {"width": 2.0},
+    },
     "aux_mh": {"mh_theta": {"step_size": 0.8}},
     "aux_hmc": {"hmc": {"step_size": 0.3, "n_leapfrog": 6}},
     "aux_nuts": {"nuts": {"step_size": 0.3}},
+    "joint_slice": {"joint_slice": {"width": 2.0, "angle_scale": 1.2}},
+    "joint_mh": {"joint_mh": {"step_size": 0.8, "rho": 0.5}},
 }
 
 

@@ -25,10 +25,11 @@ def _chol_dispatch(a):
 
     The samplers are vmapped per-chain functions, so a plain
     ``jnp.linalg.cholesky`` inside them becomes XLA's batched Cholesky
-    (~531 GFLOP/s at B=128, n=640 on v5e).  This custom_vmap rule routes
+    (~587 GFLOP/s at B=128, n=640 on v5e).  This custom_vmap rule routes
     the BATCHED call to the Pallas blocked factorisation
-    (ops/chol_pallas.cholesky_batched2: 793-832 GFLOP/s, 1.5-1.6x) on TPU
-    when shapes are tile-aligned; single-matrix calls and CPU stay on XLA.
+    (ops/chol_pallas.cholesky_batched3 mini-panel kernel: ~1.50 TFLOP/s,
+    2.55x XLA, measured 2026-08-19 with host-transfer sync) on TPU when
+    shapes are tile-aligned; single-matrix calls and CPU stay on XLA.
     """
     return jnp.linalg.cholesky(a)
 
@@ -47,7 +48,7 @@ def _chol_dispatch_vmap(axis_size, in_batched, a):
     ):
         batch = a.shape[:-2]
         flat = a.reshape((-1, n, n))
-        l = chol_pallas.cholesky_batched2(flat, 32).reshape(batch + (n, n))
+        l = chol_pallas.cholesky_batched3(flat, 32).reshape(batch + (n, n))
     else:
         l = jnp.linalg.cholesky(a)
     return l, in_batched[0]

@@ -30,16 +30,40 @@ def trace(logdir="/tmp/auxpm_trace"):
         jax.profiler.stop_trace()
 
 
+def device_sync(x):
+    """Force device completion of everything that produced ``x``.
+
+    ``jax.block_until_ready`` is UNRELIABLE on the tunneled ``axon``
+    backend (measured 2026-08-19: it returns before the device finishes —
+    10 serialized 9.5 ms kernels "blocked" in 0.4 ms total).  A host
+    transfer of one element of each output buffer cannot lie: the runtime
+    can only serve bytes of a buffer after the producing computation has
+    completed, and device execution is in-order, so syncing on the last
+    output awaits the whole queue.  Cost: one tunnel round-trip.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+    return x
+
+
 def timed(fn, *args, reps=1, warmup=1, **kw):
-    """Returns (seconds_per_call, last_result)."""
+    """Returns (seconds_per_call, last_result).
+
+    Uses ``device_sync`` (host-transfer sync), not ``block_until_ready``
+    — see ``device_sync``.  The async dispatch queue is in-order, so the
+    single end sync covers all ``reps`` calls.
+    """
     r = None
     for _ in range(warmup):
         r = fn(*args, **kw)
-    jax.block_until_ready(r)
+    device_sync(r)
     t0 = time.time()
     for _ in range(reps):
         r = fn(*args, **kw)
-    jax.block_until_ready(r)
+    device_sync(r)
     return (time.time() - t0) / reps, r
 
 

@@ -6,7 +6,7 @@ auxiliary PM slice sampling, S=64 importance samples per step).
 Protocol:
 - TPU side: adapt slice widths over WARM_WINDOWS windows (not timed), then
   run ``CHAINS`` vmapped chains for ``STEPS`` steps of the aux-slice kernel
-  in WARM_STEPS-sized compiled dispatches; wall time via block_until_ready;
+  in WARM_STEPS-sized compiled dispatches; wall time via device_sync (host-transfer sync);
   ESS computed over the timed samples only (Geyer estimator per dimension,
   combined over chains; min over dimensions).
 - Kernel variant: BENCH_STEP_OUT=0 (default) uses Neal's shrinkage-only
@@ -106,10 +106,12 @@ def main():
     # probe is a Gram+Cholesky) drops with converged widths; the first
     # windows also burn in the overdispersed inits so the timed stretch is
     # stationary (short-window ESS otherwise measures burn-in, not mixing).
+    from auxpm_tpu.utils.profiling import device_sync
+
     t0 = time.time()
     for w in range(WARM_WINDOWS):
         states, recs, infos = run_chains(step, states, params, WARM_STEPS)
-        jax.block_until_ready(states.theta)
+        device_sync(states.theta)
         params = adapt_params(params, recs, infos, width_scale=WIDTH_SCALE)
         params["slice_theta"]["max_step_out"] = STEP_OUT  # adapt_params keeps it
         np_probe = np.asarray(infos["slice_theta/n_probe"])
@@ -129,7 +131,10 @@ def main():
         states, recs, infos = run_chains(step, states, params, WARM_STEPS)
         thetas.append(recs["theta"])
         infos_list.append(infos)
-        jax.block_until_ready(recs["theta"])
+        # device_sync, NOT block_until_ready: the latter returns early on
+        # the tunneled axon backend (see utils/profiling.device_sync) and
+        # would silently measure dispatch time instead of compute time.
+        device_sync(recs["theta"])
         if ci % 8 == 0:
             log(f"chunk {ci}/{n_chunks}: cum {time.time()-t0:.1f}s")
     wall = time.time() - t0

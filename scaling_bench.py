@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def measure(mesh, chains, steps, warm, target, params):
     import jax
+from auxpm_tpu.utils.profiling import device_sync
 
     from auxpm_tpu.core.state import init_chain_states
     from auxpm_tpu.parallel.sharded_chain import run_chains_sharded, shard_states
@@ -43,10 +44,10 @@ def measure(mesh, chains, steps, warm, target, params):
     states = shard_states(states, mesh)
     # warm (compile + settle)
     states, _, _ = run_chains_sharded(step, states, params, warm, mesh)
-    jax.block_until_ready(states.theta)
+    device_sync(states.theta)
     t0 = time.time()
     states, recs, _ = run_chains_sharded(step, states, params, steps, mesh)
-    jax.block_until_ready(recs["theta"])
+    device_sync(recs["theta"])
     wall = time.time() - t0
     return chains * steps / wall
 

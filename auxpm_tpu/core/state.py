@@ -51,6 +51,76 @@ class ChainState:
         return dataclasses.replace(self, **kw)
 
 
+def blocked_normal(key, local_shape, dtype, n_blocks_global, s_global,
+                   particle_axis=None):
+    """Draw a u-shaped standard-normal block-by-block with per-block keys.
+
+    The draw for global row-block b is ``normal(fold_in(key, b), ...)`` —
+    a fixed function of (key, b) — so a particle-sharded sampler (local
+    rows = one contiguous slice of the global rows) reproduces exactly the
+    rows the unsharded sampler draws: fold in the GLOBAL block ids
+    ``axis_index * nb_local + arange(nb_local)``.  Together with the
+    blocked estimator reduction (ops/logsumexp.blocked_logsumexp) this
+    makes particle-sharded chains bitwise-equal to unsharded ones
+    (SURVEY.md §4.6).
+
+    ``local_shape``: this shard's u shape (rows = s_global/k).
+    ``n_blocks_global``: global block count (rows must divide evenly).
+    """
+    rows_local = local_shape[0]
+    k_shards = s_global // rows_local
+    nb_local = n_blocks_global // k_shards
+    if nb_local * k_shards != n_blocks_global or rows_local % nb_local:
+        raise ValueError(
+            f"shard rows {rows_local} of {s_global} incompatible with "
+            f"{n_blocks_global} global blocks"
+        )
+    block_shape = (rows_local // nb_local,) + tuple(local_shape[1:])
+    b0 = 0
+    if particle_axis is not None:
+        b0 = jax.lax.axis_index(particle_axis) * nb_local
+    gids = b0 + jnp.arange(nb_local)
+    draws = jax.vmap(
+        lambda b: jax.random.normal(jax.random.fold_in(key, b), block_shape,
+                                    dtype)
+    )(gids)
+    return draws.reshape(local_shape)
+
+
+def make_u_normal(target, particle_axis=None):
+    """Returns ``draw(key, u) -> fresh N(0, I)`` honoring the target's
+    canonical block granularity (``target.n_weight_blocks``).
+
+    With blocks (>1), the draw for global row-block b is a fixed function of
+    (key, b) via ``blocked_normal`` — identical rows whether u is whole or a
+    per-shard slice, the PRNG half of the TP bitwise-invariance contract.
+    Targets without blocks keep the legacy scheme (plain draw; under
+    sharding, fold in the shard index so shards get distinct rows).
+    """
+    s_global = target.u_shape[0]
+    nb = getattr(target, "n_weight_blocks", 1) or 1
+
+    def draw(key, u):
+        rows = u.shape[0]
+        if particle_axis is None:
+            if nb > 1:
+                return blocked_normal(key, u.shape, u.dtype, nb, s_global)
+            return jax.random.normal(key, u.shape, u.dtype)
+        k_shards = s_global // rows
+        if (
+            nb > 1
+            and k_shards * rows == s_global
+            and nb % k_shards == 0
+            and rows % (nb // k_shards) == 0
+        ):
+            return blocked_normal(key, u.shape, u.dtype, nb, s_global,
+                                  particle_axis)
+        kk = jax.random.fold_in(key, jax.lax.axis_index(particle_axis))
+        return jax.random.normal(kk, u.shape, u.dtype)
+
+    return draw
+
+
 def init_chain_state(key, target, theta0=None, jitter_scale=0.0):
     """Initialise one chain: draw ``u ~ N(0, I)``, evaluate the estimator.
 

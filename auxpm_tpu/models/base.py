@@ -79,6 +79,17 @@ class Target:
     # particle-sharding wrapper swap the local reduction for a collective
     # psum-logsumexp (SURVEY.md §2.3 "TP -> particle parallelism").
     log_weights_u: Optional[Callable] = None
+    # Width of the estimator's canonical blocked reduction tree
+    # (ops/logsumexp.blocked_logsumexp) — ALSO the granularity of the
+    # samplers' u-shaped PRNG draws (core/state.blocked_normal): a particle-
+    # sharded chain over any shard count dividing this is bitwise-equal to
+    # the unsharded chain (SURVEY.md §4.6).  1 = plain reduction/draws.
+    n_weight_blocks: int = 1
+    # Optional factory ``axis_name -> Target`` returning a particle-sharded
+    # build of THIS target for use inside shard_map (local u blocks,
+    # collective reductions), preserving all structure-aware fast paths.
+    # parallel/particle_shard.shard_target_particles delegates to it.
+    make_sharded: Optional[Callable] = None
 
     def log_joint(self, theta, u):
         """Unnormalised joint log density in (theta, u) minus the N(u;0,I)

@@ -46,9 +46,11 @@ from auxpm_tpu.models.base import Target
 from auxpm_tpu.models.likelihoods import LIKELIHOODS
 from auxpm_tpu.ops.cholesky import robust_cholesky, whiten
 from auxpm_tpu.ops.gram import pairwise_sqdist, se_gram_ard, se_gram_iso
-from auxpm_tpu.ops.logsumexp import logsumexp
+from auxpm_tpu.ops.logsumexp import blocked_logsumexp
 
 _TILE = 128
+_N_WEIGHT_BLOCKS = 8  # canonical reduction-tree width; supports 1/2/4/8-way
+                      # particle sharding bitwise (ops/logsumexp.block_partials)
 
 
 def make_gp_classification(
@@ -65,6 +67,7 @@ def make_gp_classification(
     pad_to_tiles=True,
     proposal="prior",
     newton_iters=6,
+    particle_axis=None,
 ):
     """Build the GP-classification pseudo-marginal ``Target``.
 
@@ -85,6 +88,14 @@ def make_gp_classification(
       newton_iters: fixed Newton iteration count for the Laplace fit
         (quadratic convergence; 6 is converged to f32 noise on Pima-scale
         problems — measured spread <3e-3 nats between 4 and 20 iterations).
+      particle_axis: mesh axis name when the S importance samples are
+        sharded over devices (built for use INSIDE ``shard_map``; estimator
+        functions then receive LOCAL u blocks and combine the fixed blocked
+        reduction with an all_gather of tiny partials — bitwise-equal to
+        the unsharded estimate, see ops/logsumexp.blocked_logsumexp).  All
+        structure-aware fast paths (coord_estimators, the fused rotated
+        probe) survive sharding because every shard computes the identical
+        global estimate.
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -155,23 +166,69 @@ def make_gp_classification(
         f = whiten(chol, u)  # (S, n) one MXU matmul
         return log_lik_fn(f, y_dev[None, :], mask[None, :])  # (S,)
 
-    # Fused whiten+loglik+logsumexp (Pallas on TPU, jnp elsewhere —
+    # The estimator's reduction tree is FIXED at _N_WEIGHT_BLOCKS blocks
+    # (blocked_logsumexp): one canonical associativity that the particle-
+    # sharded path reproduces exactly (SURVEY.md §4.6 TP invariance).
+    nb_global = _N_WEIGHT_BLOCKS if n_importance % _N_WEIGHT_BLOCKS == 0 else 1
+    log_s_fac = jnp.log(jnp.asarray(float(n_importance), dtype))
+
+    def _combine_local_lw(lw, u_rows):
+        """Blocked lse of (local) log-weights minus log S (global S)."""
+        if particle_axis is None:
+            return blocked_logsumexp(lw, nb_global) - log_s_fac
+        from auxpm_tpu.parallel.collectives import allgather_blocked_logsumexp
+
+        k_shards = n_importance // u_rows
+        if (
+            k_shards * u_rows != n_importance
+            or nb_global % k_shards
+            or u_rows % (nb_global // k_shards)
+        ):
+            raise ValueError(
+                f"S={n_importance} with {k_shards} particle shards is "
+                f"incompatible with {nb_global} weight blocks"
+            )
+        return (
+            allgather_blocked_logsumexp(lw, nb_global // k_shards, particle_axis)
+            - log_s_fac
+        )
+
+    # Fused whiten+loglik(+lse) (Pallas on TPU, jnp elsewhere —
     # ops/fused_estimator.py); requires the tile-aligned padded layout.
+    # Sharded: the kernel returns LOCAL per-sample log-weights and the
+    # collective blocked combine finishes — the fused hot path survives TP.
     use_fused = pad_to_tiles and n % _TILE == 0
-    if use_fused:
+    if use_fused and particle_axis is None:
         from auxpm_tpu.ops.fused_estimator import (
             make_fused_estimator,
             make_fused_rot_estimator,
         )
 
-        log_lik_est_u = make_fused_estimator(y_dev, mask, likelihood)
-        log_lik_est_rot = make_fused_rot_estimator(y_dev, mask, likelihood)
+        log_lik_est_u = make_fused_estimator(
+            y_dev, mask, likelihood, n_blocks=nb_global
+        )
+        log_lik_est_rot = make_fused_rot_estimator(
+            y_dev, mask, likelihood, n_blocks=nb_global
+        )
+    elif use_fused:
+        from auxpm_tpu.ops.fused_estimator import (
+            make_fused_rot_weights,
+            make_fused_weights,
+        )
+
+        _lw = make_fused_weights(y_dev, mask, likelihood)
+        _lw_rot = make_fused_rot_weights(y_dev, mask, likelihood)
+
+        def log_lik_est_u(chol, u):
+            return _combine_local_lw(_lw(chol, u), u.shape[0])
+
+        def log_lik_est_rot(chol, u, v, angle):
+            return _combine_local_lw(_lw_rot(chol, u, v, angle), u.shape[0])
+
     else:
 
         def log_lik_est_u(chol, u):
-            return logsumexp(log_weights_u(chol, u), axis=0) - jnp.log(
-                jnp.asarray(float(u.shape[0]), u.dtype)
-            )
+            return _combine_local_lw(log_weights_u(chol, u), u.shape[0])
 
         log_lik_est_rot = None
 
@@ -183,8 +240,6 @@ def make_gp_classification(
         return -0.5 * jnp.sum(r * r) - n_theta * (
             0.5 * jnp.log(2.0 * jnp.pi) + jnp.log(jnp.asarray(prior_std, dtype))
         )
-
-    log_s_fac = jnp.log(jnp.asarray(float(n_importance), dtype))
 
     def _full_coord_factory(i):
         def factory(theta, u):
@@ -251,7 +306,7 @@ def make_gp_classification(
             return log_lik_fn(f, y_dev[None, :], mask[None, :]) + extra
 
         def log_lik_est_u(prepared, u):  # noqa: F811
-            return logsumexp(log_weights_u(prepared, u), axis=0) - log_s_fac
+            return _combine_local_lw(log_weights_u(prepared, u), u.shape[0])
 
         def log_lik_est(theta, u):  # noqa: F811
             return log_lik_est_u(prepare(theta), u)
@@ -261,6 +316,26 @@ def make_gp_classification(
     elif proposal != "prior":
         raise ValueError(f"unknown proposal {proposal!r}")
 
+    def make_sharded(axis_name):
+        """Particle-sharded rebuild of this target (same args, collective
+        estimator) — see the ``particle_axis`` docstring above."""
+        return make_gp_classification(
+            x,
+            y,
+            n_importance=n_importance,
+            likelihood=likelihood,
+            ard=ard,
+            jitter=jitter,
+            prior_mean=prior_mean,
+            prior_std=prior_std,
+            dtype=dtype,
+            name=name,
+            pad_to_tiles=pad_to_tiles,
+            proposal=proposal,
+            newton_iters=newton_iters,
+            particle_axis=axis_name,
+        )
+
     return Target(
         d=n_theta,
         u_shape=(n_importance, n),
@@ -269,7 +344,8 @@ def make_gp_classification(
         theta_init=jnp.zeros((n_theta,), dtype),
         name=name
         or f"gp_{likelihood}_n{n_raw}"
-        + ("_laplace" if proposal == "laplace" else ""),
+        + ("_laplace" if proposal == "laplace" else "")
+        + (f"@{particle_axis}" if particle_axis else ""),
         prepare=prepare,
         log_lik_est_u=log_lik_est_u,
         log_lik_est_rot=log_lik_est_rot,
@@ -277,4 +353,6 @@ def make_gp_classification(
         coord_estimators=coord_estimators,
         sample_prior=lambda key: prior_mean
         + prior_std * jax.random.normal(key, (n_theta,), dtype),
+        n_weight_blocks=nb_global,
+        make_sharded=None if particle_axis else make_sharded,
     )

@@ -246,10 +246,10 @@ def _chol_panel_kernel2(a_ref, lt_ref, a_s):
     jax.lax.fori_loop(0, BLK, body, 0)
 
 
-def _best_bt(b, bt):
-    """Largest supported batch-tile dividing b (VMEM limit: bt<=32)."""
-    for cand in (min(bt, 32), 16, 8, 4, 2, 1):
-        if b % cand == 0:
+def _best_bt(b, bt, cap=128):
+    """Largest supported batch-tile dividing b."""
+    for cand in (min(bt, cap), 64, 32, 16, 8, 4, 2, 1):
+        if b % cand == 0 and cand <= bt:
             return cand
     return 1
 
@@ -430,10 +430,24 @@ def _chol_panel_kernel3(a_ref, lt_ref, xt_ref, a_s, t_s):
 
 def chol_panel_batched3(a, bt=16, interpret=False):
     """(B,128,128) SPD -> (L lower-tri, inv(L)^T upper-tri) via the v3
-    mini-panel Pallas kernel."""
+    mini-panel Pallas kernel.
+
+    Large batch tiles matter: the 128 strip steps are sequential per grid
+    step, and a (bt,8,128) strip op only fills the VPU when bt is large —
+    going bt 32 -> 64 halves the total sequential depth (needs the raised
+    vmem budget below; ~5 * bt * 64 KB)."""
     b = a.shape[0]
     bt = _best_bt(b, bt)
     grid = (b // bt,)
+    kw = {}
+    # Raise the scoped-vmem budget ONLY when the tile actually needs it:
+    # measured 2026-08-19, passing vmem_limit_bytes at bt=32 slowed the
+    # kernel ~30x (7.5 -> 219 ms; the limit also steers Mosaic's pipelining
+    # heuristics), while bt=64 needs ~41 MB > the 16 MB default.
+    if not interpret and pltpu is not None and bt > 32:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        )
     lt, xt = pl.pallas_call(
         _chol_panel_kernel3,
         grid=grid,
@@ -453,8 +467,25 @@ def chol_panel_batched3(a, bt=16, interpret=False):
             pltpu.VMEM((bt, MP, BLK), jnp.float32),
         ],
         interpret=interpret,
+        **kw,
     )(a)
     return jnp.swapaxes(lt, -1, -2), xt
+
+
+# ---------------------------------------------------------------------------
+# v4 (REMOVED): whole-matrix-in-VMEM fused kernel — negative result
+# ---------------------------------------------------------------------------
+#
+# A v4 that moved the whole blocked driver in-kernel (one grid step factors
+# a (bt, n, n) batch tile entirely in VMEM) was built and measured
+# 2026-08-19: correct to 1.2e-5 but ~30x SLOWER than v3 (215-233 ms vs
+# 7.5 ms at B=128, n=640).  Two causes: (a) VMEM capacity forces bt<=4 for
+# whole 640-wide matrices, starving the VPU in the 128-step strip loops
+# ((4,8,128) ops are 1/8 of a vreg-efficient (32,8,128)) and multiplying
+# the total sequential depth by B/bt; (b) Mosaic lane-dim slicing of the
+# 640-lane working ref forces relayouts on every tile access.  v3's split —
+# bt=32 tile kernels + XLA driver GEMMs — is the right architecture for
+# this VMEM size; the code was removed, this note is the record.
 
 
 def cholesky_batched3(a, bt=16, interpret=False):

@@ -55,8 +55,30 @@ def _log_lik_tile(f, y, mask, likelihood):
     return -jax.nn.softplus(-y * f) * mask
 
 
+def _blocked_lse_lw(lw, n_blocks):
+    """Blocked lse of an (S, 1) log-weight column with a fixed sequential
+    combine — the SAME associativity as ops.logsumexp.blocked_logsumexp, so
+    the kernel's reduction definition matches the jnp / sharded paths.
+    Static python loop (n_blocks is small and static)."""
+    s = lw.shape[0]
+    if n_blocks <= 1:
+        m = jnp.max(lw)
+        return jnp.log(jnp.sum(jnp.exp(lw - m))) + m
+    bs = s // n_blocks
+    cm = jnp.max(lw[0:bs])
+    cs = jnp.sum(jnp.exp(lw[0:bs] - cm))
+    for b in range(1, n_blocks):
+        blk = lw[b * bs:(b + 1) * bs]
+        bm = jnp.max(blk)
+        bsum = jnp.sum(jnp.exp(blk - bm))
+        nm = jnp.maximum(cm, bm)
+        cs = cs * jnp.exp(cm - nm) + bsum * jnp.exp(bm - nm)
+        cm = nm
+    return jnp.log(cs) + cm
+
+
 def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood,
-                  log_s):
+                  log_s, n_blocks):
     """Grid step j: one 128-column block of f = u @ C.T.
 
     u_ref: (S, n) full auxiliary block (VMEM, constant across grid).
@@ -86,13 +108,11 @@ def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood
     @pl.when(j == nj - 1)
     def _():
         lw = jnp.sum(acc_ref[:], axis=1, keepdims=True)  # (S, 1)
-        m = jnp.max(lw)
-        lse = jnp.log(jnp.sum(jnp.exp(lw - m))) + m
-        out_ref[0, 0] = lse - log_s
+        out_ref[0, 0] = _blocked_lse_lw(lw, n_blocks) - log_s
 
 
 def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
-                      acc_ref, *, likelihood, log_s):
+                      acc_ref, *, likelihood, log_s, n_blocks):
     """ESS variant: whitens u' = u cos a + v sin a formed per tile."""
     j = pl.program_id(0)
     nj = pl.num_programs(0)
@@ -115,13 +135,14 @@ def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
     @pl.when(j == nj - 1)
     def _():
         lw = jnp.sum(acc_ref[:], axis=1, keepdims=True)
-        m = jnp.max(lw)
-        lse = jnp.log(jnp.sum(jnp.exp(lw - m))) + m
-        out_ref[0, 0] = lse - log_s
+        out_ref[0, 0] = _blocked_lse_lw(lw, n_blocks) - log_s
 
 
-def _ref_estimate(chol, u, y, mask, likelihood):
-    """jnp reference implementation (CPU fallback + VJP backward)."""
+def _ref_weights(chol, u, y, mask, likelihood):
+    """jnp per-sample log-weights (CPU fallback + VJP backward).
+
+    Must stay the EXACT expression of models/likelihoods.LIKELIHOODS so
+    jnp-path estimates are one consistent function of (chol, u)."""
     f = u @ chol.T
     if likelihood == "logistic":
         ll = -jax.nn.softplus(-y[None, :] * f)
@@ -130,19 +151,27 @@ def _ref_estimate(chol, u, y, mask, likelihood):
         llp = jnp.log(0.5 * jax.lax.erfc(-z * 0.7071067811865476))
         tail = -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(-z + 1e-30)
         ll = jnp.where(z < -8.0, tail, llp)
-    lw = jnp.sum(ll * mask[None, :], axis=-1)
-    m = jnp.max(lw)
-    return (
-        jnp.log(jnp.sum(jnp.exp(lw - m))) + m
-        - jnp.log(jnp.asarray(float(u.shape[0]), u.dtype))
-    )
+    return jnp.sum(ll * mask[None, :], axis=-1)
 
 
-def _pallas_estimate(chol, u, y, mask, likelihood):
+def _ref_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None):
+    """jnp reference estimate with the canonical blocked reduction."""
+    from auxpm_tpu.ops.logsumexp import blocked_logsumexp
+
+    lw = _ref_weights(chol, u, y, mask, likelihood)
+    if log_s is None:
+        log_s = jnp.log(jnp.asarray(float(u.shape[0]), u.dtype))
+    return blocked_logsumexp(lw, n_blocks) - log_s
+
+
+def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None):
     s, n = u.shape
     assert n % _BLK == 0, f"n={n} must be 128-aligned (pad the target)"
     kern = functools.partial(
-        _fused_kernel, likelihood=likelihood, log_s=float(np.log(float(s)))
+        _fused_kernel,
+        likelihood=likelihood,
+        log_s=float(np.log(float(s))) if log_s is None else float(log_s),
+        n_blocks=n_blocks,
     )
     return pl.pallas_call(
         kern,
@@ -159,11 +188,15 @@ def _pallas_estimate(chol, u, y, mask, likelihood):
     )(u, chol, y[None, :], mask[None, :])[0, 0]
 
 
-def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood):
+def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood, n_blocks=1,
+                         log_s=None):
     s, n = u.shape
     assert n % _BLK == 0
     kern = functools.partial(
-        _fused_rot_kernel, likelihood=likelihood, log_s=float(np.log(float(s)))
+        _fused_rot_kernel,
+        likelihood=likelihood,
+        log_s=float(np.log(float(s))) if log_s is None else float(log_s),
+        n_blocks=n_blocks,
     )
     return pl.pallas_call(
         kern,
@@ -190,11 +223,14 @@ def _on_tpu():
         return False
 
 
-def make_fused_estimator(y, mask, likelihood="logistic", force=None):
-    """Returns ``est(chol, u) -> scalar`` = logsumexp_s(loglik) - log S.
+def make_fused_estimator(y, mask, likelihood="logistic", force=None,
+                         n_blocks=1):
+    """Returns ``est(chol, u) -> scalar`` = blocked-lse_s(loglik) - log S.
 
     Pallas-fused on TPU, jnp elsewhere (``force=True/False`` overrides for
     tests).  Differentiable in both args via custom_vjp (backward = jnp).
+    ``n_blocks`` fixes the reduction tree (ops/logsumexp.blocked_logsumexp)
+    — part of the estimator definition, shared with the sharded path.
     """
     use_pallas = _on_tpu() if force is None else force
     if likelihood != "logistic":
@@ -203,11 +239,12 @@ def make_fused_estimator(y, mask, likelihood="logistic", force=None):
     mask = jnp.asarray(mask, jnp.float32)
 
     if not use_pallas:
-        return lambda chol, u: _ref_estimate(chol, u, y, mask, likelihood)
+        return lambda chol, u: _ref_estimate(chol, u, y, mask, likelihood,
+                                             n_blocks)
 
     @jax.custom_vjp
     def est(chol, u):
-        return _pallas_estimate(chol, u, y, mask, likelihood)
+        return _pallas_estimate(chol, u, y, mask, likelihood, n_blocks)
 
     def fwd(chol, u):
         return est(chol, u), (chol, u)
@@ -215,7 +252,8 @@ def make_fused_estimator(y, mask, likelihood="logistic", force=None):
     def bwd(res, g):
         chol, u = res
         gc, gu = jax.grad(
-            lambda c, uu: _ref_estimate(c, uu, y, mask, likelihood), argnums=(0, 1)
+            lambda c, uu: _ref_estimate(c, uu, y, mask, likelihood, n_blocks),
+            argnums=(0, 1),
         )(chol, u)
         return (g * gc, g * gu)
 
@@ -223,7 +261,8 @@ def make_fused_estimator(y, mask, likelihood="logistic", force=None):
     return est
 
 
-def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None):
+def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None,
+                             n_blocks=1):
     """Returns ``est(chol, u, v, angle) -> scalar`` for the ESS inner loop:
     the estimate at the rotated proposal u cos a + v sin a, fused."""
     use_pallas = _on_tpu() if force is None else force
@@ -234,11 +273,164 @@ def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None):
 
     def ref(chol, u, v, angle):
         return _ref_estimate(
-            chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood
+            chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood,
+            n_blocks,
         )
 
     if not use_pallas:
         return ref
     return lambda chol, u, v, angle: _pallas_estimate_rot(
+        chol, u, v, angle, y, mask, likelihood, n_blocks
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-sample log-WEIGHTS kernels — the particle-sharded hot path
+# ---------------------------------------------------------------------------
+#
+# Under particle sharding the reduction over S is a collective, so the local
+# kernel must return the (S_local,) log-weights instead of the folded scalar
+# (parallel/collectives.allgather_blocked_logsumexp finishes the job).  Same
+# fused whiten -> likelihood accumulation; the output is the (S, 1) column.
+
+
+def _fused_weights_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *,
+                          likelihood):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    f_blk = jax.lax.dot_general(
+        u_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
+                                mask_ref[0, :][None, :], likelihood)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = jnp.sum(acc_ref[:], axis=1, keepdims=True)
+
+
+def _fused_rot_weights_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref,
+                              out_ref, acc_ref, *, likelihood):
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    u_rot = u_ref[:] * jnp.cos(ang_ref[0, 0]) + v_ref[:] * jnp.sin(ang_ref[0, 0])
+    f_blk = jax.lax.dot_general(
+        u_rot,
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
+                                mask_ref[0, :][None, :], likelihood)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out_ref[:] = jnp.sum(acc_ref[:], axis=1, keepdims=True)
+
+
+def _pallas_weights(chol, u, y, mask, likelihood):
+    s, n = u.shape
+    assert n % _BLK == 0
+    kern = functools.partial(_fused_weights_kernel, likelihood=likelihood)
+    return pl.pallas_call(
+        kern,
+        grid=(n // _BLK,),
+        in_specs=[
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((s, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+    )(u, chol, y[None, :], mask[None, :])[:, 0]
+
+
+def _pallas_rot_weights(chol, u, v, angle, y, mask, likelihood):
+    s, n = u.shape
+    assert n % _BLK == 0
+    kern = functools.partial(_fused_rot_weights_kernel, likelihood=likelihood)
+    return pl.pallas_call(
+        kern,
+        grid=(n // _BLK,),
+        in_specs=[
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((s, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+    )(u, v, jnp.reshape(angle, (1, 1)).astype(jnp.float32), chol,
+      y[None, :], mask[None, :])[:, 0]
+
+
+def make_fused_weights(y, mask, likelihood="logistic", force=None):
+    """Returns ``lw(chol, u) -> (S,)`` per-sample log-weights, Pallas-fused
+    on TPU (jnp elsewhere); differentiable via custom_vjp (backward = jnp)."""
+    use_pallas = _on_tpu() if force is None else force
+    if likelihood != "logistic":
+        use_pallas = False
+    y = jnp.asarray(y, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    if not use_pallas:
+        return lambda chol, u: _ref_weights(chol, u, y, mask, likelihood)
+
+    @jax.custom_vjp
+    def lw(chol, u):
+        return _pallas_weights(chol, u, y, mask, likelihood)
+
+    def fwd(chol, u):
+        return lw(chol, u), (chol, u)
+
+    def bwd(res, g):
+        chol, u = res
+        _, pull = jax.vjp(
+            lambda c, uu: _ref_weights(c, uu, y, mask, likelihood), chol, u
+        )
+        return pull(g)
+
+    lw.defvjp(fwd, bwd)
+    return lw
+
+
+def make_fused_rot_weights(y, mask, likelihood="logistic", force=None):
+    """Returns ``lw(chol, u, v, angle) -> (S,)`` at the rotated proposal."""
+    use_pallas = _on_tpu() if force is None else force
+    if likelihood != "logistic":
+        use_pallas = False
+    y = jnp.asarray(y, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    def ref(chol, u, v, angle):
+        return _ref_weights(
+            chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood
+        )
+
+    if not use_pallas:
+        return ref
+    return lambda chol, u, v, angle: _pallas_rot_weights(
         chol, u, v, angle, y, mask, likelihood
     )

@@ -40,6 +40,59 @@ def masked_logsumexp(x, mask, axis=None, keepdims=False):
     return logsumexp(jnp.where(mask, x, neg_inf), axis=axis, keepdims=keepdims)
 
 
+def block_partials(logw, n_blocks):
+    """Per-block (max, shifted-exp-sum) partials over FIXED contiguous blocks.
+
+    ``logw (S,) -> (m, se)`` each ``(n_blocks,)``: block b covers rows
+    ``[b*S/n_blocks, (b+1)*S/n_blocks)``.  The block structure is part of
+    the ESTIMATOR DEFINITION (see ``blocked_logsumexp``): the particle-
+    sharded path computes the same partials for its local blocks and
+    combines gathered partials in the same global order, so sharded and
+    unsharded chains agree bit-for-bit (SURVEY.md §4.6, TP invariance).
+
+    ``m`` keeps -inf for all-masked blocks (``se`` is 0 there); the combine
+    handles it.
+    """
+    s = logw.shape[0]
+    blocks = logw.reshape(n_blocks, s // n_blocks)
+    m = jnp.max(blocks, axis=1)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    se = jnp.sum(jnp.exp(blocks - m_safe[:, None]), axis=1)
+    return m, se
+
+
+def combine_block_partials(m, se):
+    """Sequential left-fold combine of block partials IN INDEX ORDER.
+
+    Deterministic (a ``lax.scan``, never a tree reduction), so every caller
+    that feeds the same partials in the same order gets bitwise-identical
+    results — the invariance contract of ``block_partials``.
+    """
+
+    def step(carry, xs):
+        cm, cs = carry
+        bm, bs = xs
+        nm = jnp.maximum(cm, bm)
+        nm_safe = jnp.where(jnp.isfinite(nm), nm, 0.0)
+        cs = cs * jnp.exp(cm - nm_safe) + bs * jnp.exp(bm - nm_safe)
+        return (nm, cs), None
+
+    (fm, fs), _ = jax.lax.scan(step, (m[0], se[0]), (m[1:], se[1:]))
+    return jnp.log(fs) + jnp.where(jnp.isfinite(fm), fm, 0.0)
+
+
+def blocked_logsumexp(logw, n_blocks):
+    """logsumexp with a FIXED blocked reduction tree (see block_partials).
+
+    Mathematically equal to ``logsumexp(logw)`` up to f32 rounding; used by
+    the GP estimators so the importance-weight reduction has one canonical
+    associativity that particle sharding preserves exactly.
+    """
+    if n_blocks <= 1:
+        return logsumexp(logw)
+    return combine_block_partials(*block_partials(logw, n_blocks))
+
+
 def streaming_logsumexp(carry, block):
     """One online-logsumexp combine step.
 

@@ -36,6 +36,26 @@ def psum_logsumexp(log_w_local, axis_name, axis=None):
     return out
 
 
+def allgather_blocked_logsumexp(logw_local, n_blocks_local, axis_name):
+    """Global blocked log-sum-exp, bitwise-equal to the unsharded
+    ``ops.logsumexp.blocked_logsumexp`` at the same global block count.
+
+    Each shard computes (max, shifted-sum) partials for its LOCAL contiguous
+    blocks, all-gathers the tiny partial vectors (2 * n_blocks floats), and
+    folds them sequentially in GLOBAL block order (shard-major == global
+    order because blocks are contiguous per shard).  Unlike
+    ``psum_logsumexp`` the combine has a fixed associativity, so the result
+    is a deterministic function of the weights independent of the shard
+    count — the TP bitwise-invariance contract (SURVEY.md §4.6).
+    """
+    from auxpm_tpu.ops.logsumexp import block_partials, combine_block_partials
+
+    m, se = block_partials(logw_local, n_blocks_local)
+    m_all = jax.lax.all_gather(m, axis_name)  # (k, nb_local) in axis order
+    se_all = jax.lax.all_gather(se, axis_name)
+    return combine_block_partials(m_all.reshape(-1), se_all.reshape(-1))
+
+
 def pmean_tree(tree, axis_name):
     """Cross-shard mean of every leaf (adaptation statistics aggregation,
     BASELINE.json:10)."""

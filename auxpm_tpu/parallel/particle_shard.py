@@ -38,6 +38,14 @@ def shard_target_particles(target, axis_name="particles"):
     Inside ``shard_map``, ``u`` has shape (S_local, ...); the returned
     estimator is the exact global-S estimate.
     """
+    if target.make_sharded is not None:
+        # The target knows how to rebuild itself sharded (GP classification
+        # does): the rebuild keeps ALL structure-aware fast paths —
+        # coord_estimators and the fused rotated-probe kernel — because its
+        # estimator functions are collective-aware (blocked all_gather
+        # combine, bitwise-equal to the unsharded reduction; SURVEY.md §4.6).
+        return target.make_sharded(axis_name), target.u_shape[0]
+
     if target.log_weights_u is None or target.prepare is None:
         raise ValueError(f"target {target.name} does not expose log_weights_u")
 

@@ -59,8 +59,7 @@ def make_joint_slice_kernel(target, particle_axis=None):
     paper's joint-update family on its own."""
     from auxpm_tpu.samplers.joint_slice import make_joint_slice
 
-    del particle_axis
-    return compose([("joint_slice", make_joint_slice(target))])
+    return compose([("joint_slice", make_joint_slice(target, particle_axis))])
 
 
 def make_joint_mh_kernel(target, particle_axis=None):
@@ -68,8 +67,7 @@ def make_joint_mh_kernel(target, particle_axis=None):
     MH; rho=pi/2 recovers classic PM-MH)."""
     from auxpm_tpu.samplers.joint_slice import make_joint_mh
 
-    del particle_axis
-    return compose([("joint_mh", make_joint_mh(target))])
+    return compose([("joint_mh", make_joint_mh(target, particle_axis))])
 
 
 def make_aux_slice_joint(target, particle_axis=None, n_ess=1):
@@ -82,7 +80,23 @@ def make_aux_slice_joint(target, particle_axis=None, n_ess=1):
         [
             ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
             ("slice_theta", make_slice_theta(target)),
-            ("joint_slice", make_joint_slice(target)),
+            ("joint_slice", make_joint_slice(target, particle_axis)),
+        ]
+    )
+
+
+def make_aux_slice_pcrd(target, particle_axis=None, n_ess=1):
+    """aux_slice with a random-direction theta slice appended after the
+    per-coordinate sweep — attacks the (log_ell, log_sigma) posterior
+    correlation that axis-aligned moves cross in small diagonal steps.
+    The rd group reads ``params["slice_theta_rd"]["widths"]`` (callers
+    usually mirror the adapted per-coordinate widths; the rd kernel takes
+    their mean as its scalar bracket)."""
+    return compose(
+        [
+            ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
+            ("slice_theta", make_slice_theta(target)),
+            ("slice_theta_rd", make_slice_theta_rd(target)),
         ]
     )
 
@@ -139,6 +153,7 @@ SAMPLERS = {
     "pm_mh": make_pm_mh,
     "aux_slice": make_aux_slice,
     "aux_slice_rd": make_aux_slice_rd,
+    "aux_slice_pcrd": make_aux_slice_pcrd,
     "aux_slice_joint": make_aux_slice_joint,
     "aux_mh": make_aux_mh,
     "aux_hmc": make_aux_hmc,

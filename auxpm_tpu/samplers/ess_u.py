@@ -32,15 +32,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from auxpm_tpu.core.state import ChainState
+from auxpm_tpu.core.state import ChainState, make_u_normal
 
 _TWO_PI = 2.0 * jnp.pi
 
 
 def make_ess_u(target, particle_axis=None, n_repeats=1):
     """``particle_axis``: mesh axis name when u is particle-sharded — the
-    u-shaped draw ``v`` must then differ per shard (fold in the axis index)
-    while every other draw stays replicated across the particle group.
+    u-shaped draw ``v`` then covers only this shard's rows.  Draws go
+    through ``core.state.make_u_normal``: blocked targets get per-block
+    keys so sharded and unsharded chains see identical v rows (bitwise TP
+    invariance); every other draw stays replicated across the particle
+    group.
 
     ``n_repeats`` applies the ESS update that many times per call while
     paying ``target.prepare`` (the Gram + Cholesky for GP targets) ONCE:
@@ -48,12 +51,12 @@ def make_ess_u(target, particle_axis=None, n_repeats=1):
     probes.  Repeats directly attack the log L̂ autocorrelation that
     throttles theta mixing in the estimator-noise-limited regime."""
 
+    draw_v = make_u_normal(target, particle_axis)
+
     def one_update(prepared, est_rot_p, theta, u, log_lik, key):
         """One ESS update of u given the amortised ``prepared``."""
         key, k_v, k_h, k_loop = jax.random.split(key, 4)
-        if particle_axis is not None:
-            k_v = jax.random.fold_in(k_v, jax.lax.axis_index(particle_axis))
-        v = jax.random.normal(k_v, u.shape, u.dtype)
+        v = draw_v(k_v, u)
         log_y = log_lik + jnp.log(jax.random.uniform(k_h, (), u.dtype))
 
         # Probes carry only the ANGLE; the rotated proposal u' = u cos a +

@@ -57,11 +57,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from auxpm_tpu.core.state import ChainState
+from auxpm_tpu.core.state import ChainState, make_u_normal
 from auxpm_tpu.samplers.slice_theta import _slice_1d
 
 
-def make_joint_slice(target):
+def make_joint_slice(target, particle_axis=None):
+    draw_v = make_u_normal(target, particle_axis)
+
     def step(state: ChainState, params: dict):
         dtype = state.theta.dtype
         width = jnp.asarray(params.get("width", 1.0), dtype)
@@ -72,7 +74,7 @@ def make_joint_slice(target):
         key, k_dir, k_v, k_slice = jax.random.split(state.key, 4)
         e = jax.random.normal(k_dir, state.theta.shape, dtype)
         e = e / jnp.linalg.norm(e)
-        v = jax.random.normal(k_v, state.u.shape, dtype)
+        v = draw_v(k_v, state.u)
 
         theta0, u0 = state.theta, state.u
         log_post0 = target.log_prior(theta0) + state.log_lik_hat
@@ -114,7 +116,9 @@ def make_joint_slice(target):
     return step
 
 
-def make_joint_mh(target):
+def make_joint_mh(target, particle_axis=None):
+    draw_v = make_u_normal(target, particle_axis)
+
     def step(state: ChainState, params: dict):
         dtype = state.theta.dtype
         s = jnp.asarray(params.get("step_size", 0.3), dtype)
@@ -124,7 +128,7 @@ def make_joint_mh(target):
         theta_p = state.theta + s * jax.random.normal(
             k_xi, state.theta.shape, dtype
         )
-        v = jax.random.normal(k_v, state.u.shape, dtype)
+        v = draw_v(k_v, state.u)
         u_p = state.u * jnp.cos(rho) + v * jnp.sin(rho)
 
         ll_p = target.log_lik_est(theta_p, u_p)

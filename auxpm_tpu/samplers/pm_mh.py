@@ -26,13 +26,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from auxpm_tpu.core.state import ChainState
+from auxpm_tpu.core.state import ChainState, make_u_normal
 
 
 def make_pm_mh(target, particle_axis=None):
     """``particle_axis``: mesh axis name when u is particle-sharded — the
-    fresh u' draw must differ per shard (fold in the axis index); all other
+    fresh u' draw then covers only this shard's rows (blocked per-block keys
+    via ``core.state.make_u_normal`` for bitwise TP invariance); all other
     draws stay replicated across the particle group."""
+    draw_u = make_u_normal(target, particle_axis)
 
     def step(state: ChainState, params: dict):
         step_size = params.get("step_size", 0.5)
@@ -41,9 +43,7 @@ def make_pm_mh(target, particle_axis=None):
         theta_p = state.theta + step_size * jax.random.normal(
             k_prop, state.theta.shape, state.theta.dtype
         )
-        if particle_axis is not None:
-            k_u = jax.random.fold_in(k_u, jax.lax.axis_index(particle_axis))
-        u_p = jax.random.normal(k_u, state.u.shape, state.u.dtype)
+        u_p = draw_u(k_u, state.u)
         log_lik_p = target.log_lik_est(theta_p, u_p)
 
         log_accept = (

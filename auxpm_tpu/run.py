@@ -92,13 +92,21 @@ def main(argv=None):
 
         mesh = make_mesh(n_particle_shards=cfg.particle_shards)
         states = shard_states(states, mesh)
-        step = SAMPLERS[cfg.sampler](target)
+        step = (
+            SAMPLERS[cfg.sampler](target, n_ess=cfg.n_ess)
+            if cfg.sampler.startswith("aux_slice")
+            else SAMPLERS[cfg.sampler](target)
+        )
 
         def run_step_fn(t, s, p, n):
             return run_chains_sharded(t, s, p, n, mesh)
 
     else:
-        step = SAMPLERS[cfg.sampler](target)
+        step = (
+            SAMPLERS[cfg.sampler](target, n_ess=cfg.n_ess)
+            if cfg.sampler.startswith("aux_slice")
+            else SAMPLERS[cfg.sampler](target)
+        )
 
         def run_step_fn(t, s, p, n):
             return run_chains(t, s, p, n, thin=cfg.thin)

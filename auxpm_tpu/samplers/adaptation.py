@@ -199,6 +199,16 @@ def adapt_params(params, recs, infos, target_accept=0.234, lr=1.0,
         g["widths"] = jnp.asarray(widths, np.float32)
         new["slice_theta"] = g
 
+    # random-direction stage appended after the per-coordinate sweep
+    # (aux_slice_pcrd): same posterior-std rule, its own group
+    if any(k.startswith("slice_theta_rd/") for k in infos):
+        stds = np.asarray(_global_moments(recs["theta"]))
+        g = dict(new.get("slice_theta_rd", {}))
+        g["widths"] = jnp.asarray(
+            np.clip(width_scale * stds, *width_bounds), np.float32
+        )
+        new["slice_theta_rd"] = g
+
     if any(k.startswith("joint_slice/") for k in infos):
         # scalar bracket along a random unit direction: mean posterior std
         stds = np.asarray(_global_moments(recs["theta"]))

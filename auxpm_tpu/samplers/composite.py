@@ -36,10 +36,10 @@ def make_aux_slice(target, particle_axis=None, n_ess=1):
     )
 
 
-def make_aux_slice_rd(target, particle_axis=None):
+def make_aux_slice_rd(target, particle_axis=None, n_ess=1):
     return compose(
         [
-            ("ess_u", make_ess_u(target, particle_axis)),
+            ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
             ("slice_theta", make_slice_theta_rd(target)),
         ]
     )

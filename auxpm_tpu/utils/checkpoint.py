@@ -46,9 +46,15 @@ def save_checkpoint(path, states: ChainState, step: int, config: dict | None = N
     for i, leaf in enumerate(leaves):
         if i in key_leaf_idx:
             leaf = jax.random.key_data(leaf)
-        # addressable local shards, concatenated in device order
+        # addressable local shards, concatenated in GLOBAL INDEX order —
+        # addressable_shards order is a device-placement detail, not the
+        # array order, so sort by each shard's starting offset
         if hasattr(leaf, "addressable_shards"):
-            shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+            srt = sorted(
+                leaf.addressable_shards,
+                key=lambda s: tuple(sl.start or 0 for sl in s.index),
+            )
+            shards = [np.asarray(s.data) for s in srt]
             arrs[f"leaf{i}"] = (
                 np.concatenate(shards, axis=0) if len(shards) > 1 else shards[0]
             )
@@ -67,24 +73,32 @@ def save_checkpoint(path, states: ChainState, step: int, config: dict | None = N
     )
 
 
-def load_checkpoint(path, example_states: ChainState, config: dict | None = None):
+def load_checkpoint(path, example_states: ChainState, config: dict | None = None,
+                    reshard: bool = True):
     """Load this process's shards; returns (states, step, params).
 
-    ``example_states`` provides the treedef (and device sharding via
-    re-put by the caller if needed).
+    ``example_states`` provides the treedef AND (with ``reshard=True``, the
+    default) the target device placement: each loaded leaf is
+    ``device_put`` with the example leaf's sharding, so a sharded runner
+    resumes directly — including onto a DIFFERENT mesh shape than the one
+    that wrote the checkpoint (the .npz holds globally-ordered host arrays;
+    tested bitwise in tests/test_distributed.py).
     """
     proc = jax.process_index()
+    ex_leaves, treedef = jax.tree.flatten(example_states)
     with np.load(os.path.join(path, f"shard_{proc}.npz"), allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         if config is not None and meta["config_hash"] != _config_hash(config):
             raise ValueError("checkpoint config hash mismatch")
-        leaves, treedef = jax.tree.flatten(example_states)
         out = []
-        for i in range(len(leaves)):
+        for i, ex in enumerate(ex_leaves):
             arr = z[f"leaf{i}"]
             if i in meta["key_leaves"]:
-                out.append(jax.random.wrap_key_data(jax.numpy.asarray(arr)))
+                leaf = jax.random.wrap_key_data(jax.numpy.asarray(arr))
             else:
-                out.append(jax.numpy.asarray(arr))
+                leaf = jax.numpy.asarray(arr)
+            if reshard and hasattr(ex, "sharding"):
+                leaf = jax.device_put(leaf, ex.sharding)
+            out.append(leaf)
         states = jax.tree.unflatten(treedef, out)
         return states, meta["step"], meta["params"]

@@ -33,9 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def measure(mesh, chains, steps, warm, target, params):
     import jax
-from auxpm_tpu.utils.profiling import device_sync
 
     from auxpm_tpu.core.state import init_chain_states
+    from auxpm_tpu.utils.profiling import device_sync
     from auxpm_tpu.parallel.sharded_chain import run_chains_sharded, shard_states
     from auxpm_tpu.samplers.composite import make_aux_slice
 

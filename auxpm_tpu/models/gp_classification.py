@@ -184,10 +184,14 @@ def make_gp_classification(
             or nb_global % k_shards
             or u_rows % (nb_global // k_shards)
         ):
-            raise ValueError(
-                f"S={n_importance} with {k_shards} particle shards is "
-                f"incompatible with {nb_global} weight blocks"
-            )
+            # S incompatible with the fixed blocked reduction tree (e.g.
+            # S % 8 != 0 -> nb_global == 1): fall back to the generic
+            # collective logsumexp — still the exact global estimate, just
+            # not bitwise-equal to the unsharded blocked tree (advisor
+            # finding r2: raising here made such targets unshardable).
+            from auxpm_tpu.parallel.collectives import psum_logsumexp
+
+            return psum_logsumexp(lw, particle_axis) - log_s_fac
         return (
             allgather_blocked_logsumexp(lw, nb_global // k_shards, particle_axis)
             - log_s_fac

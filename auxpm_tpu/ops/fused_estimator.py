@@ -65,21 +65,28 @@ def _blocked_lse_lw(lw, n_blocks):
     combine — the SAME associativity as ops.logsumexp.blocked_logsumexp, so
     the kernel's reduction definition matches the jnp / sharded paths.
     Static python loop (n_blocks is small and static)."""
+    def safe(m):
+        # mirror ops/logsumexp.block_partials' -inf guard: an all--inf block
+        # must yield exp(-inf - 0) = 0, not exp(-inf - -inf) = NaN (advisor
+        # finding r2).  In the finite case `where` selects m unchanged, so
+        # the reduction stays bitwise-equal to the jnp/sharded paths.
+        return jnp.where(jnp.isfinite(m), m, 0.0)
+
     s = lw.shape[0]
     if n_blocks <= 1:
-        m = jnp.max(lw)
+        m = safe(jnp.max(lw))
         return jnp.log(jnp.sum(jnp.exp(lw - m))) + m
     bs = s // n_blocks
     cm = jnp.max(lw[0:bs])
-    cs = jnp.sum(jnp.exp(lw[0:bs] - cm))
+    cs = jnp.sum(jnp.exp(lw[0:bs] - safe(cm)))
     for b in range(1, n_blocks):
         blk = lw[b * bs:(b + 1) * bs]
         bm = jnp.max(blk)
-        bsum = jnp.sum(jnp.exp(blk - bm))
+        bsum = jnp.sum(jnp.exp(blk - safe(bm)))
         nm = jnp.maximum(cm, bm)
-        cs = cs * jnp.exp(cm - nm) + bsum * jnp.exp(bm - nm)
+        cs = cs * jnp.exp(cm - safe(nm)) + bsum * jnp.exp(bm - safe(nm))
         cm = nm
-    return jnp.log(cs) + cm
+    return jnp.log(cs) + safe(cm)
 
 
 def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood,

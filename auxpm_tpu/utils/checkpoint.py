@@ -31,6 +31,38 @@ def _config_hash(config: dict) -> str:
     ).hexdigest()[:16]
 
 
+def _assemble_addressable(leaf) -> np.ndarray:
+    """Copy a jax.Array's addressable shards into one host buffer using each
+    shard's global ``.index`` slices (correct for any sharding layout,
+    including multi-axis and replicated).  Returns the region
+    [min_start, max_stop) per axis — the full array on a single process."""
+    shards = list(leaf.addressable_shards)
+    gshape = leaf.shape
+    ndim = len(gshape)
+    starts = [
+        min((s.index[a].start or 0) for s in shards) for a in range(ndim)
+    ]
+    stops = [
+        max(
+            (s.index[a].stop if s.index[a].stop is not None else gshape[a])
+            for s in shards
+        )
+        for a in range(ndim)
+    ]
+    first = np.asarray(shards[0].data)
+    out = np.empty([sp - st for st, sp in zip(starts, stops)], first.dtype)
+    for s in shards:
+        sl = tuple(
+            slice(
+                (ix.start or 0) - st,
+                (ix.stop if ix.stop is not None else g) - st,
+            )
+            for ix, st, g in zip(s.index, starts, gshape)
+        )
+        out[sl] = np.asarray(s.data)
+    return out
+
+
 def save_checkpoint(path, states: ChainState, step: int, config: dict | None = None,
                     params: dict | None = None):
     """Save this process's shards.  ``path`` is a directory."""
@@ -46,18 +78,16 @@ def save_checkpoint(path, states: ChainState, step: int, config: dict | None = N
     for i, leaf in enumerate(leaves):
         if i in key_leaf_idx:
             leaf = jax.random.key_data(leaf)
-        # addressable local shards, concatenated in GLOBAL INDEX order —
-        # addressable_shards order is a device-placement detail, not the
-        # array order, so sort by each shard's starting offset
+        # Reassemble this process's addressable shards via their GLOBAL
+        # index slices into one buffer spanning the addressable region.
+        # Axis-0 concatenation is NOT enough: a DP x TP state (u sharded
+        # over 'chains' AND 'particles') has shards tiling a 2-D grid, and
+        # concatenating them along axis 0 silently interleaves blocks
+        # (advisor finding r2).  For a single process the addressable
+        # region is the full array; multi-host keeps the per-process-block
+        # semantics as before (each file holds that host's region).
         if hasattr(leaf, "addressable_shards"):
-            srt = sorted(
-                leaf.addressable_shards,
-                key=lambda s: tuple(sl.start or 0 for sl in s.index),
-            )
-            shards = [np.asarray(s.data) for s in srt]
-            arrs[f"leaf{i}"] = (
-                np.concatenate(shards, axis=0) if len(shards) > 1 else shards[0]
-            )
+            arrs[f"leaf{i}"] = _assemble_addressable(leaf)
         else:
             arrs[f"leaf{i}"] = np.asarray(leaf)
     meta = {

@@ -233,6 +233,45 @@ def test_particle_shard_invariance_bitwise():
         )
 
 
+def test_checkpoint_multiaxis_sharded_roundtrip(tmp_path):
+    """Checkpoint of a DP x TP state (u sharded over 'chains' AND
+    'particles') round-trips exactly (advisor finding r2: axis-0
+    concatenation silently interleaved multi-axis shard blocks)."""
+    x, y = load("pima", subsample=32)
+    target = make_gp_classification(x, y, n_importance=16)
+    sh_target, _ = shard_target_particles(target, "particles")
+    step = make_aux_slice(sh_target, particle_axis="particles")
+    params = {
+        "ess_u": {},
+        "slice_theta": {"widths": jnp.full((target.d,), 1.0, jnp.float32)},
+    }
+    states = init_chain_states(jax.random.key(11), target, 4, jitter_scale=0.2)
+    mesh = make_mesh(n_chains_shards=2, n_particle_shards=4)
+    st = shard_states(states, mesh, shard_particles=True)
+
+    # exact round-trip of the multi-axis-sharded u leaf
+    save_checkpoint(str(tmp_path / "ck0"), st, step=0, config={"c": 3})
+    loaded, _, _ = load_checkpoint(str(tmp_path / "ck0"), st, config={"c": 3})
+    np.testing.assert_array_equal(np.asarray(loaded.u), np.asarray(states.u))
+
+    # interrupted vs uninterrupted, bitwise, under DP x TP
+    _, recs_full, _ = run_chains_sharded(
+        step, st, params, 16, mesh, shard_particles=True
+    )
+    st_mid, recs_a, _ = run_chains_sharded(
+        step, st, params, 8, mesh, shard_particles=True
+    )
+    save_checkpoint(str(tmp_path / "ck"), st_mid, step=8, config={"c": 3})
+    st_loaded, _, _ = load_checkpoint(str(tmp_path / "ck"), st_mid, config={"c": 3})
+    _, recs_b, _ = run_chains_sharded(
+        step, st_loaded, params, 8, mesh, shard_particles=True
+    )
+    got = np.concatenate(
+        [np.asarray(recs_a["theta"]), np.asarray(recs_b["theta"])], 1
+    )
+    np.testing.assert_array_equal(got, np.asarray(recs_full["theta"]))
+
+
 def test_checkpoint_resume_sharded_reshard_bitwise(tmp_path):
     """Sharded checkpoint -> resume on a DIFFERENT mesh shape, bitwise
     (VERDICT r1 weakness 6: resharding on load was untested).  The .npz
@@ -261,3 +300,28 @@ def test_checkpoint_resume_sharded_reshard_bitwise(tmp_path):
         [np.asarray(recs_a["theta"]), np.asarray(recs_b["theta"])], 1
     )
     np.testing.assert_array_equal(got, np.asarray(recs_full["theta"]))
+
+
+def test_particle_sharded_incompatible_s_falls_back():
+    """S % 8 != 0 -> nb_global == 1: particle sharding must fall back to the
+    generic psum_logsumexp combine (exact, just not bitwise-blocked) instead
+    of raising (advisor finding r2: such targets were unshardable)."""
+    x, y = load("pima", subsample=40)
+    target = make_gp_classification(x, y, n_importance=12)
+    assert target.n_weight_blocks == 1
+    sh_target, s_global = shard_target_particles(target, "particles")
+    assert s_global == 12
+
+    theta = jnp.asarray([0.1, 0.2])
+    u = jax.random.normal(jax.random.key(4), target.u_shape)
+    want = float(target.log_lik_est(theta, u))
+
+    mesh = make_mesh(n_chains_shards=1, n_particle_shards=2)
+    got = shard_map(
+        lambda u_l: sh_target.log_lik_est(theta, u_l),
+        mesh=mesh,
+        in_specs=P("particles", None),
+        out_specs=P(),
+        check_vma=False,
+    )(u)
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)

@@ -134,3 +134,32 @@ def test_fused_probit_kernel_interpret_matches_ref():
         interpret=True,
     )(u, chol, y[None, :], mask[None, :])[0, 0]
     np.testing.assert_allclose(float(got), float(want), rtol=2e-6, atol=2e-5)
+
+
+def test_blocked_lse_lw_neg_inf_guard():
+    """_blocked_lse_lw must mirror block_partials' -inf guard: an all--inf
+    block yields 0 contribution, not NaN (advisor finding r2); and in the
+    finite case the guard must not change the result bitwise."""
+    from auxpm_tpu.ops import fused_estimator as fe
+    from auxpm_tpu.ops.logsumexp import blocked_logsumexp
+
+    rng = np.random.default_rng(7)
+    lw_fin = jnp.asarray(rng.standard_normal((16, 1)) * 30.0, jnp.float32)
+    for nb in (1, 4, 8):
+        got = float(fe._blocked_lse_lw(lw_fin, nb))
+        want = float(blocked_logsumexp(lw_fin[:, 0], nb))
+        assert got == want, (nb, got, want)  # bitwise in the finite case
+
+    # one all--inf block (e.g. a fully-masked weight block)
+    lw = np.array(lw_fin)
+    lw[0:2, 0] = -np.inf  # first block of nb=8 (block size 2)
+    lw = jnp.asarray(lw)
+    got = float(fe._blocked_lse_lw(lw, 8))
+    want = float(blocked_logsumexp(lw[:, 0], 8))
+    assert np.isfinite(got)
+    assert got == want
+
+    # ALL entries -inf: log(0) = -inf, never NaN
+    all_inf = jnp.full((16, 1), -jnp.inf, jnp.float32)
+    for nb in (1, 8):
+        assert float(fe._blocked_lse_lw(all_inf, nb)) == -np.inf

@@ -1,5 +1,5 @@
 from auxpm_tpu.ops.logsumexp import (  # noqa: F401
+    blocked_logsumexp,
     logsumexp,
     masked_logsumexp,
-    streaming_logsumexp,
 )

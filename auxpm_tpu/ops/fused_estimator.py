@@ -45,6 +45,39 @@ except ImportError:  # pragma: no cover
 
 _BLK = 128
 
+_WHITEN_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _dot_whiten(a, b, whiten_dtype):
+    """(S, n) x (T, n)^T contraction over n -> (S, T), f32 accumulate.
+
+    ``whiten_dtype`` is part of the ESTIMATOR DEFINITION (like any precision
+    choice — the estimator is a fixed deterministic function of (theta, u)
+    either way, so pseudo-marginal validity is untouched; the targeted
+    posterior is perturbed at the rounding level, measured ~1e-2 nats on
+    Pima log-weights):
+
+    - float32 (default): 6-pass HIGHEST — exact-f32 whiten.
+    - bfloat16: operands cast to bf16 in-registers, one MXU pass with f32
+      accumulation — ~4-6x MXU throughput on the op that is ~85% of model
+      FLOPs (VERDICT r2 item 4).  HBM traffic unchanged (casts happen after
+      the VMEM load).
+    """
+    if whiten_dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
 
 def _log_lik_tile(f, y, mask, likelihood):
     """Elementwise stable log-likelihood on one (S, BLK) tile (VPU).
@@ -90,7 +123,7 @@ def _blocked_lse_lw(lw, n_blocks):
 
 
 def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood,
-                  log_s, n_blocks):
+                  log_s, n_blocks, whiten_dtype=jnp.float32):
     """Grid step j: one 128-column block of f = u @ C.T.
 
     u_ref: (S, n) full auxiliary block (VMEM, constant across grid).
@@ -107,13 +140,7 @@ def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # (S, n) x (BLK, n)^T contraction over n -> (S, BLK) on the MXU
-    f_blk = jax.lax.dot_general(
-        u_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    f_blk = _dot_whiten(u_ref[:], c_ref[:], whiten_dtype)
     acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
                                 mask_ref[0, :][None, :], likelihood)
 
@@ -124,7 +151,8 @@ def _fused_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *, likelihood
 
 
 def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
-                      acc_ref, *, likelihood, log_s, n_blocks):
+                      acc_ref, *, likelihood, log_s, n_blocks,
+                      whiten_dtype=jnp.float32):
     """ESS variant: whitens u' = u cos a + v sin a formed per tile."""
     j = pl.program_id(0)
     nj = pl.num_programs(0)
@@ -134,13 +162,7 @@ def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     u_rot = u_ref[:] * jnp.cos(ang_ref[0, 0]) + v_ref[:] * jnp.sin(ang_ref[0, 0])
-    f_blk = jax.lax.dot_general(
-        u_rot,
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    f_blk = _dot_whiten(u_rot, c_ref[:], whiten_dtype)
     acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
                                 mask_ref[0, :][None, :], likelihood)
 
@@ -150,12 +172,17 @@ def _fused_rot_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref, out_ref,
         out_ref[0, 0] = _blocked_lse_lw(lw, n_blocks) - log_s
 
 
-def _ref_weights(chol, u, y, mask, likelihood):
+def _ref_weights(chol, u, y, mask, likelihood, whiten_dtype=jnp.float32):
     """jnp per-sample log-weights (CPU fallback + VJP backward).
 
     Must stay the EXACT expression of models/likelihoods.LIKELIHOODS so
-    jnp-path estimates are one consistent function of (chol, u)."""
-    f = u @ chol.T
+    jnp-path estimates are one consistent function of (chol, u); the
+    whiten dtype is the same estimator-definition choice as in the Pallas
+    kernels (_dot_whiten)."""
+    if whiten_dtype == jnp.bfloat16:
+        f = _dot_whiten(u, chol, whiten_dtype)
+    else:
+        f = u @ chol.T
     if likelihood == "logistic":
         ll = -jax.nn.softplus(-y[None, :] * f)
     else:
@@ -165,17 +192,19 @@ def _ref_weights(chol, u, y, mask, likelihood):
     return jnp.sum(ll * mask[None, :], axis=-1)
 
 
-def _ref_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None):
+def _ref_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None,
+                  whiten_dtype=jnp.float32):
     """jnp reference estimate with the canonical blocked reduction."""
     from auxpm_tpu.ops.logsumexp import blocked_logsumexp
 
-    lw = _ref_weights(chol, u, y, mask, likelihood)
+    lw = _ref_weights(chol, u, y, mask, likelihood, whiten_dtype)
     if log_s is None:
         log_s = jnp.log(jnp.asarray(float(u.shape[0]), u.dtype))
     return blocked_logsumexp(lw, n_blocks) - log_s
 
 
-def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None):
+def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None,
+                     whiten_dtype=jnp.float32):
     s, n = u.shape
     assert n % _BLK == 0, f"n={n} must be 128-aligned (pad the target)"
     kern = functools.partial(
@@ -183,6 +212,7 @@ def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None):
         likelihood=likelihood,
         log_s=float(np.log(float(s))) if log_s is None else float(log_s),
         n_blocks=n_blocks,
+        whiten_dtype=whiten_dtype,
     )
     return pl.pallas_call(
         kern,
@@ -200,7 +230,7 @@ def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None):
 
 
 def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood, n_blocks=1,
-                         log_s=None):
+                         log_s=None, whiten_dtype=jnp.float32):
     s, n = u.shape
     assert n % _BLK == 0
     kern = functools.partial(
@@ -208,6 +238,7 @@ def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood, n_blocks=1,
         likelihood=likelihood,
         log_s=float(np.log(float(s))) if log_s is None else float(log_s),
         n_blocks=n_blocks,
+        whiten_dtype=whiten_dtype,
     )
     return pl.pallas_call(
         kern,
@@ -235,25 +266,28 @@ def _on_tpu():
 
 
 def make_fused_estimator(y, mask, likelihood="logistic", force=None,
-                         n_blocks=1):
+                         n_blocks=1, whiten_dtype="float32"):
     """Returns ``est(chol, u) -> scalar`` = blocked-lse_s(loglik) - log S.
 
     Pallas-fused on TPU, jnp elsewhere (``force=True/False`` overrides for
     tests).  Differentiable in both args via custom_vjp (backward = jnp).
     ``n_blocks`` fixes the reduction tree (ops/logsumexp.blocked_logsumexp)
-    — part of the estimator definition, shared with the sharded path.
+    and ``whiten_dtype`` the GEMM precision (_dot_whiten) — both part of
+    the estimator definition, shared with the sharded path.
     """
     use_pallas = _on_tpu() if force is None else force
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
+    wd = _WHITEN_DTYPES[whiten_dtype]
 
     if not use_pallas:
         return lambda chol, u: _ref_estimate(chol, u, y, mask, likelihood,
-                                             n_blocks)
+                                             n_blocks, whiten_dtype=wd)
 
     @jax.custom_vjp
     def est(chol, u):
-        return _pallas_estimate(chol, u, y, mask, likelihood, n_blocks)
+        return _pallas_estimate(chol, u, y, mask, likelihood, n_blocks,
+                                whiten_dtype=wd)
 
     def fwd(chol, u):
         return est(chol, u), (chol, u)
@@ -261,7 +295,8 @@ def make_fused_estimator(y, mask, likelihood="logistic", force=None,
     def bwd(res, g):
         chol, u = res
         gc, gu = jax.grad(
-            lambda c, uu: _ref_estimate(c, uu, y, mask, likelihood, n_blocks),
+            lambda c, uu: _ref_estimate(c, uu, y, mask, likelihood, n_blocks,
+                                        whiten_dtype=wd),
             argnums=(0, 1),
         )(chol, u)
         return (g * gc, g * gu)
@@ -271,23 +306,24 @@ def make_fused_estimator(y, mask, likelihood="logistic", force=None,
 
 
 def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None,
-                             n_blocks=1):
+                             n_blocks=1, whiten_dtype="float32"):
     """Returns ``est(chol, u, v, angle) -> scalar`` for the ESS inner loop:
     the estimate at the rotated proposal u cos a + v sin a, fused."""
     use_pallas = _on_tpu() if force is None else force
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
+    wd = _WHITEN_DTYPES[whiten_dtype]
 
     def ref(chol, u, v, angle):
         return _ref_estimate(
             chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood,
-            n_blocks,
+            n_blocks, whiten_dtype=wd,
         )
 
     if not use_pallas:
         return ref
     return lambda chol, u, v, angle: _pallas_estimate_rot(
-        chol, u, v, angle, y, mask, likelihood, n_blocks
+        chol, u, v, angle, y, mask, likelihood, n_blocks, whiten_dtype=wd
     )
 
 
@@ -302,7 +338,7 @@ def make_fused_rot_estimator(y, mask, likelihood="logistic", force=None,
 
 
 def _fused_weights_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *,
-                          likelihood):
+                          likelihood, whiten_dtype=jnp.float32):
     j = pl.program_id(0)
     nj = pl.num_programs(0)
 
@@ -310,13 +346,7 @@ def _fused_weights_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    f_blk = jax.lax.dot_general(
-        u_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    f_blk = _dot_whiten(u_ref[:], c_ref[:], whiten_dtype)
     acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
                                 mask_ref[0, :][None, :], likelihood)
 
@@ -326,7 +356,8 @@ def _fused_weights_kernel(u_ref, c_ref, y_ref, mask_ref, out_ref, acc_ref, *,
 
 
 def _fused_rot_weights_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref,
-                              out_ref, acc_ref, *, likelihood):
+                              out_ref, acc_ref, *, likelihood,
+                              whiten_dtype=jnp.float32):
     j = pl.program_id(0)
     nj = pl.num_programs(0)
 
@@ -335,13 +366,7 @@ def _fused_rot_weights_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     u_rot = u_ref[:] * jnp.cos(ang_ref[0, 0]) + v_ref[:] * jnp.sin(ang_ref[0, 0])
-    f_blk = jax.lax.dot_general(
-        u_rot,
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    f_blk = _dot_whiten(u_rot, c_ref[:], whiten_dtype)
     acc_ref[:] += _log_lik_tile(f_blk, y_ref[0, :][None, :],
                                 mask_ref[0, :][None, :], likelihood)
 
@@ -350,10 +375,11 @@ def _fused_rot_weights_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref,
         out_ref[:] = jnp.sum(acc_ref[:], axis=1, keepdims=True)
 
 
-def _pallas_weights(chol, u, y, mask, likelihood):
+def _pallas_weights(chol, u, y, mask, likelihood, whiten_dtype=jnp.float32):
     s, n = u.shape
     assert n % _BLK == 0
-    kern = functools.partial(_fused_weights_kernel, likelihood=likelihood)
+    kern = functools.partial(_fused_weights_kernel, likelihood=likelihood,
+                             whiten_dtype=whiten_dtype)
     return pl.pallas_call(
         kern,
         grid=(n // _BLK,),
@@ -370,10 +396,12 @@ def _pallas_weights(chol, u, y, mask, likelihood):
     )(u, chol, y[None, :], mask[None, :])[:, 0]
 
 
-def _pallas_rot_weights(chol, u, v, angle, y, mask, likelihood):
+def _pallas_rot_weights(chol, u, v, angle, y, mask, likelihood,
+                        whiten_dtype=jnp.float32):
     s, n = u.shape
     assert n % _BLK == 0
-    kern = functools.partial(_fused_rot_weights_kernel, likelihood=likelihood)
+    kern = functools.partial(_fused_rot_weights_kernel, likelihood=likelihood,
+                             whiten_dtype=whiten_dtype)
     return pl.pallas_call(
         kern,
         grid=(n // _BLK,),
@@ -393,19 +421,22 @@ def _pallas_rot_weights(chol, u, v, angle, y, mask, likelihood):
       y[None, :], mask[None, :])[:, 0]
 
 
-def make_fused_weights(y, mask, likelihood="logistic", force=None):
+def make_fused_weights(y, mask, likelihood="logistic", force=None,
+                       whiten_dtype="float32"):
     """Returns ``lw(chol, u) -> (S,)`` per-sample log-weights, Pallas-fused
     on TPU (jnp elsewhere); differentiable via custom_vjp (backward = jnp)."""
     use_pallas = _on_tpu() if force is None else force
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
+    wd = _WHITEN_DTYPES[whiten_dtype]
 
     if not use_pallas:
-        return lambda chol, u: _ref_weights(chol, u, y, mask, likelihood)
+        return lambda chol, u: _ref_weights(chol, u, y, mask, likelihood,
+                                            whiten_dtype=wd)
 
     @jax.custom_vjp
     def lw(chol, u):
-        return _pallas_weights(chol, u, y, mask, likelihood)
+        return _pallas_weights(chol, u, y, mask, likelihood, whiten_dtype=wd)
 
     def fwd(chol, u):
         return lw(chol, u), (chol, u)
@@ -413,7 +444,9 @@ def make_fused_weights(y, mask, likelihood="logistic", force=None):
     def bwd(res, g):
         chol, u = res
         _, pull = jax.vjp(
-            lambda c, uu: _ref_weights(c, uu, y, mask, likelihood), chol, u
+            lambda c, uu: _ref_weights(c, uu, y, mask, likelihood,
+                                       whiten_dtype=wd),
+            chol, u,
         )
         return pull(g)
 
@@ -421,19 +454,22 @@ def make_fused_weights(y, mask, likelihood="logistic", force=None):
     return lw
 
 
-def make_fused_rot_weights(y, mask, likelihood="logistic", force=None):
+def make_fused_rot_weights(y, mask, likelihood="logistic", force=None,
+                           whiten_dtype="float32"):
     """Returns ``lw(chol, u, v, angle) -> (S,)`` at the rotated proposal."""
     use_pallas = _on_tpu() if force is None else force
     y = jnp.asarray(y, jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
+    wd = _WHITEN_DTYPES[whiten_dtype]
 
     def ref(chol, u, v, angle):
         return _ref_weights(
-            chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood
+            chol, u * jnp.cos(angle) + v * jnp.sin(angle), y, mask, likelihood,
+            whiten_dtype=wd,
         )
 
     if not use_pallas:
         return ref
     return lambda chol, u, v, angle: _pallas_rot_weights(
-        chol, u, v, angle, y, mask, likelihood
+        chol, u, v, angle, y, mask, likelihood, whiten_dtype=wd
     )

@@ -78,56 +78,41 @@ def se_gram_ard(x, log_ells, log_sigma, jitter=1e-6):
 _TILE = 128
 
 
-def _se_gram_kernel(params_ref, x_ref, xt_ref, out_ref):
-    """One (TILE, TILE) output tile of the ARD SE Gram.
+def _se_gram_kernel(xs_ref, xst_ref, out_ref):
+    """One (TILE, TILE) tile of exp(-0.5 ||xs_i - xs_j||²).
 
-    params_ref: SMEM (2 + d,) = [2*log_sigma, jitter, inv_ell (d,)]
-    x_ref:  (TILE, d) row block of X (unscaled)
-    xt_ref: (TILE, d) col block of X
+    xs_ref:  (TILE, d) row block of the PRE-SCALED data xs = x / ell
+    xst_ref: (TILE, d) col block of xs
+
+    The per-chain scaling (and the sigma²/jitter epilogue) happen OUTSIDE
+    the kernel as cheap elementwise XLA ops: keeping the kernel free of
+    scalar (SMEM) operands is what makes it vmap-able over chains — the
+    Pallas batching rule cannot tile an SMEM scalar vector along a mapped
+    axis (measured on the real chip: the SMEM-params version of this kernel
+    fails Mosaic lowering under vmap).
     """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    two_log_sigma = params_ref[0]
-    jitter = params_ref[1]
-    d = x_ref.shape[1]
-    inv_ell = jnp.stack([params_ref[2 + k] for k in range(d)])
-
-    xi = x_ref[:] * inv_ell[None, :]
-    xj = xt_ref[:] * inv_ell[None, :]
+    xi = xs_ref[:]
+    xj = xst_ref[:]
     sq_i = jnp.sum(xi * xi, axis=1, keepdims=True)  # (T, 1)
     sq_j = jnp.sum(xj * xj, axis=1, keepdims=True).T  # (1, T)
     cross = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(sq_i + sq_j - 2.0 * cross, 0.0)
-    k = jnp.exp(two_log_sigma - 0.5 * d2)
-
-    # jitter on the global diagonal (only when this tile crosses it)
-    @pl.when(i == j)
-    def _():
-        rows = jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
-        out_ref[:] = k + jnp.where(rows == cols, jitter, 0.0)
-
-    @pl.when(i != j)
-    def _():
-        out_ref[:] = k
+    out_ref[:] = jnp.exp(-0.5 * d2)
 
 
-@jax.jit
-def _se_gram_ard_pallas(x_pad, log_ells, log_sigma, jitter):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _se_gram_ard_pallas(x_pad, log_ells, log_sigma, jitter, interpret=False):
     n_pad, d = x_pad.shape
     grid = (n_pad // _TILE, n_pad // _TILE)
-    params = jnp.concatenate(
-        [
-            jnp.stack([2.0 * log_sigma, jitter]),
-            jnp.exp(-jnp.broadcast_to(log_ells, (d,))),
-        ]
-    ).astype(jnp.float32)
-    return pl.pallas_call(
+    xs = (x_pad * jnp.exp(-log_ells)[None, :]).astype(jnp.float32)
+    r = pl.pallas_call(
         _se_gram_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((_TILE, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -135,15 +120,19 @@ def _se_gram_ard_pallas(x_pad, log_ells, log_sigma, jitter):
             (_TILE, _TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
-    )(params, x_pad, x_pad)
+        interpret=interpret,
+    )(xs, xs)
+    return jnp.exp(2.0 * log_sigma) * r + jitter * jnp.eye(n_pad, dtype=r.dtype)
 
 
-def se_gram_ard_pallas(x, log_ells, log_sigma, jitter=1e-6):
+def se_gram_ard_pallas(x, log_ells, log_sigma, jitter=1e-6, interpret=False):
     """ARD SE Gram via the Pallas TPU kernel.
 
     Pads n up to a multiple of 128 internally (padded rows produce padded
     Gram entries that are sliced off before return, so callers see exactly
-    (n, n)).  Requires a TPU backend; use ``se_gram_ard`` elsewhere.
+    (n, n)).  Requires a TPU backend (or ``interpret=True`` for CPU tests);
+    use ``se_gram_ard`` elsewhere.  Wired into the GP target's ARD path
+    (models/gp_classification.r_matrix) when built on TPU.
     """
     n, d = x.shape
     n_pad = -(-n // _TILE) * _TILE
@@ -153,6 +142,7 @@ def se_gram_ard_pallas(x, log_ells, log_sigma, jitter=1e-6):
         jnp.asarray(log_ells, jnp.float32),
         jnp.asarray(log_sigma, jnp.float32),
         jnp.asarray(jitter, jnp.float32),
+        interpret=interpret,
     )
     return k_pad[:n, :n]
 

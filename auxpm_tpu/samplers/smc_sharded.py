@@ -131,6 +131,7 @@ def make_smc_sharded(
     carry_u=True,
     n_u_mh=2,
     rejuv_batch=256,
+    time_stages=False,
 ):
     """Sharded analogue of ``smc.make_smc``; same semantics, same PRNG
     discipline per particle, population sharded over the mesh.
@@ -364,22 +365,39 @@ def make_smc_sharded(
     init_prior = _init_prior_light if not carry_u else _init_prior
 
     def run(key):
+        import time as _time
+
         k_init, k_loop = jax.random.split(key)
+        t0 = _time.time()
         states = jax.jit(init_prior)(k_init)
+        if time_stages:
+            from auxpm_tpu.utils.profiling import device_sync
+
+            device_sync(states.theta)
+        init_wall = _time.time() - t0
         beta = jnp.asarray(0.0, states.theta.dtype)
-        log_z, betas, u_accs = 0.0, [0.0], []
+        log_z, betas, u_accs, walls = 0.0, [0.0], [], []
         for s in range(max_stages):
+            t0 = _time.time()
             states, beta, log_z_inc, u_acc = stage(
                 states, beta, jax.random.fold_in(k_loop, s)
             )
             log_z += float(log_z_inc)
             betas.append(float(beta))
             u_accs.append(float(u_acc))
+            if time_stages:
+                from auxpm_tpu.utils.profiling import device_sync
+
+                device_sync(states.theta)
+                walls.append(round(_time.time() - t0, 3))
             if betas[-1] >= 1.0:
                 break
         diag = {"log_z": log_z, "betas": betas, "n_stages": len(betas) - 1}
         if not carry_u:
             diag["u_mh_accept"] = u_accs
+        if time_stages:
+            diag["init_wall"] = round(init_wall, 3)
+            diag["stage_wall"] = walls
         return states, diag
 
     return run

@@ -21,6 +21,7 @@ class RunConfig:
     n_importance: int = 16
     likelihood: str = "logistic"
     proposal: str = "prior"  # importance proposal: prior | laplace
+    whiten_dtype: str = "float32"  # whiten GEMM precision: float32 | bfloat16
     ard: bool = False
     subsample: Optional[int] = None
     noise_frac: float = 0.3  # toy only
@@ -113,6 +114,19 @@ PRESETS = {
         steps=500,
         subsample=1024,  # full 4177-pt abalone: set --subsample 0
     ),
+    # config 2 variant: ARD kernel (per-dimension lengthscales, theta is
+    # (d+1)-dim); the TPU Gram path routes through the Pallas ARD tile
+    # kernel (ops/gram.se_gram_ard_pallas)
+    "pima_ard_aux": RunConfig(
+        preset="pima_ard_aux",
+        target="gp",
+        dataset="pima",
+        n_importance=64,
+        sampler="aux_slice",
+        chains=64,
+        steps=1000,
+        ard=True,
+    ),
     # config 4: "4096 vectorized chains on GP posterior, chains sharded
     # across hosts, global step-size/bracket adaptation via psum"
     "gp_4096_sharded": RunConfig(
@@ -171,6 +185,7 @@ def build_target(cfg: RunConfig):
             likelihood=cfg.likelihood,
             proposal=cfg.proposal,
             ard=cfg.ard,
+            whiten_dtype=cfg.whiten_dtype,
         )
     raise ValueError(f"unknown target {cfg.target}")
 

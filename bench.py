@@ -72,6 +72,7 @@ STEP_OUT = int(os.environ.get("BENCH_STEP_OUT", 0))
 PROPOSAL = os.environ.get("BENCH_PROPOSAL", "prior")
 S = int(os.environ.get("BENCH_S", 64))
 N_ESS = int(os.environ.get("BENCH_N_ESS", 4))
+WHITEN = os.environ.get("BENCH_WHITEN", "float32")  # float32 | bfloat16
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 SEEDS = int(os.environ.get("BENCH_SEEDS", 3))
 V5E_BF16_PEAK = 197e12  # per-chip bf16 peak; MFU denominator (f32 work
@@ -95,9 +96,11 @@ def main():
 
     log(f"devices: {jax.devices()}")
     log(f"chains={CHAINS} steps={STEPS} S={S} step_out={STEP_OUT} "
-        f"proposal={PROPOSAL} n_ess={N_ESS}")
+        f"proposal={PROPOSAL} n_ess={N_ESS} whiten={WHITEN}")
     x, y = load("pima")
-    target = make_gp_classification(x, y, n_importance=S, proposal=PROPOSAL)
+    target = make_gp_classification(
+        x, y, n_importance=S, proposal=PROPOSAL, whiten_dtype=WHITEN
+    )
     step = make_aux_slice(target, n_ess=N_ESS)
 
     from auxpm_tpu.utils.profiling import device_sync
@@ -275,6 +278,7 @@ def main():
     }
     out["model_tflops_per_sec"] = round(model_tflops, 3)
     out["mfu_vs_bf16_peak"] = round(mfu, 4)
+    out["whiten_dtype"] = WHITEN
     print(json.dumps(out))
 
 

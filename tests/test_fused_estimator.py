@@ -163,3 +163,95 @@ def test_blocked_lse_lw_neg_inf_guard():
     all_inf = jnp.full((16, 1), -jnp.inf, jnp.float32)
     for nb in (1, 8):
         assert float(fe._blocked_lse_lw(all_inf, nb)) == -np.inf
+
+
+def test_bf16_whiten_accuracy_and_kernel_parity():
+    """whiten_dtype="bfloat16" (VERDICT r2 item 4): the bf16-input /
+    f32-accumulate estimator must stay within the estimator's own noise
+    floor of the f32 definition, and the Pallas kernel (interpret mode)
+    must agree with the jnp bf16 path."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from auxpm_tpu.ops import fused_estimator as fe
+
+    x, y = load("pima", subsample=64)
+    t32 = make_gp_classification(x, y, n_importance=16)
+    t16 = make_gp_classification(x, y, n_importance=16,
+                                 whiten_dtype="bfloat16")
+    theta = jnp.asarray([0.1, 0.2], jnp.float32)
+    u = jax.random.normal(jax.random.key(0), t32.u_shape, jnp.float32)
+    v32 = float(t32.log_lik_est(theta, u))
+    v16 = float(t16.log_lik_est(theta, u))
+    # bf16 rounding moves log L-hat by ~1e-2 nats here; the S=16 IS noise
+    # (std over u draws) is >0.1 nats — the perturbation is sub-noise.
+    assert abs(v16 - v32) < 0.1, (v16, v32)
+    assert v16 != v32  # it IS a different (coarser) estimator
+
+    # interpret-mode Pallas bf16 kernel == jnp bf16 reference
+    s, n = 16, 256
+    rng = np.random.default_rng(9)
+    uu = jnp.asarray(rng.standard_normal((s, n)), jnp.float32)
+    chol = jnp.asarray(
+        np.tril(rng.standard_normal((n, n)) * 0.1) + np.eye(n), jnp.float32
+    )
+    yv = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    want = float(fe._ref_estimate(chol, uu, yv, mask, "logistic", n_blocks=8,
+                                  whiten_dtype=jnp.bfloat16))
+    kern = functools.partial(
+        fe._fused_kernel, likelihood="logistic",
+        log_s=float(np.log(float(s))), n_blocks=8,
+        whiten_dtype=jnp.bfloat16,
+    )
+    got = pl.pallas_call(
+        kern,
+        grid=(n // 128,),
+        in_specs=[
+            pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((s, 128), jnp.float32)],
+        interpret=True,
+    )(uu, chol, yv[None, :], mask[None, :])[0, 0]
+    np.testing.assert_allclose(float(got), want, rtol=1e-6, atol=1e-5)
+
+    # gradients still flow through the custom_vjp (bf16 backward = jnp bf16)
+    est = fe.make_fused_estimator(yv, mask, "logistic", force=False,
+                                  n_blocks=8, whiten_dtype="bfloat16")
+    g = jax.grad(lambda c: est(c, uu))(chol)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bf16_whiten_density_perturbation_bounded():
+    """The bf16 whiten targets the perturbed posterior ∝ p(theta) L̂16(theta)
+    where log L̂16 - log L̂32 is bounded.  A sup bound on |Δ log L̂| over the
+    posterior region bounds the log-density perturbation directly — the
+    statistically sound version of "posterior moments unchanged" (a short
+    two-chain moment comparison is dominated by chain decorrelation noise,
+    tau >> window, and cannot resolve a ~1e-2-nat bias).  The full-protocol
+    moment check runs at bench time on TPU (BASELINE.md)."""
+    x, y = load("pima", subsample=64)
+    t32 = make_gp_classification(x, y, n_importance=16)
+    t16 = make_gp_classification(x, y, n_importance=16,
+                                 whiten_dtype="bfloat16")
+    key = jax.random.key(3)
+    deltas = []
+    for i in range(20):
+        k_t, k_u, key = jax.random.split(jax.random.fold_in(key, i), 3)
+        theta = 0.5 * jax.random.normal(k_t, (2,), jnp.float32)
+        u = jax.random.normal(k_u, t32.u_shape, jnp.float32)
+        deltas.append(
+            float(t16.log_lik_est(theta, u)) - float(t32.log_lik_est(theta, u))
+        )
+    deltas = np.asarray(deltas)
+    # sup |Δ log density| << 1 nat => posterior essentially unchanged;
+    # measured ~1e-2 on this problem.  S=16 IS noise is ~0.1-1 nats.
+    assert np.max(np.abs(deltas)) < 0.1, deltas
+    assert np.any(deltas != 0.0)  # a genuinely different estimator

@@ -48,6 +48,37 @@ _BLK = 128
 _WHITEN_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
+def _col_block(s, n, n_u=1):
+    """Column-block width for the fused kernels.
+
+    The original kernels walked 128-wide column blocks of C; at the bench
+    shape (S=64, n=640, 128 vmapped chains) that is 640 grid steps per call
+    and the measured call cost (~2 ms) sits ~4x above the data/compute
+    floor (~0.5 ms) — per-grid-step overhead dominates.  Wider blocks mean
+    fewer steps.  Pick the largest multiple of 128 that divides n and keeps
+    the kernel working set (u blocks, double-buffered C block, accumulator)
+    inside a conservative VMEM budget; override with
+    ``AUXPM_FUSED_COL_BLOCK`` for experiments.
+
+    ``n_u``: how many (S, n) operands the kernel holds (1, or 2 for the
+    rotated-proposal variants).
+    """
+    import os
+
+    forced = int(os.environ.get("AUXPM_FUSED_COL_BLOCK", "0"))
+    if forced and forced % _BLK == 0 and n % forced == 0:
+        return forced
+    budget = 10 * 2**20  # bytes; conservative vs the 16 MB scoped default
+    for k in range(n // _BLK, 0, -1):
+        blk = k * _BLK
+        if n % blk:
+            continue
+        working = 4 * (n_u * s * n + 2 * blk * n + s * blk + 4 * blk)
+        if working <= budget:
+            return blk
+    return _BLK
+
+
 def _dot_whiten(a, b, whiten_dtype):
     """(S, n) x (T, n)^T contraction over n -> (S, T), f32 accumulate.
 
@@ -204,7 +235,7 @@ def _ref_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None,
 
 
 def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None,
-                     whiten_dtype=jnp.float32):
+                     whiten_dtype=jnp.float32, interpret=False):
     s, n = u.shape
     assert n % _BLK == 0, f"n={n} must be 128-aligned (pad the target)"
     kern = functools.partial(
@@ -214,23 +245,26 @@ def _pallas_estimate(chol, u, y, mask, likelihood, n_blocks=1, log_s=None,
         n_blocks=n_blocks,
         whiten_dtype=whiten_dtype,
     )
+    blk = _col_block(s, n, n_u=1)
     return pl.pallas_call(
         kern,
-        grid=(n // _BLK,),
+        grid=(n // blk,),
         in_specs=[
             pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s, blk), jnp.float32)],
+        interpret=interpret,
     )(u, chol, y[None, :], mask[None, :])[0, 0]
 
 
 def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood, n_blocks=1,
-                         log_s=None, whiten_dtype=jnp.float32):
+                         log_s=None, whiten_dtype=jnp.float32,
+                         interpret=False):
     s, n = u.shape
     assert n % _BLK == 0
     kern = functools.partial(
@@ -240,20 +274,22 @@ def _pallas_estimate_rot(chol, u, v, angle, y, mask, likelihood, n_blocks=1,
         n_blocks=n_blocks,
         whiten_dtype=whiten_dtype,
     )
+    blk = _col_block(s, n, n_u=2)
     return pl.pallas_call(
         kern,
-        grid=(n // _BLK,),
+        grid=(n // blk,),
         in_specs=[
             pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s, blk), jnp.float32)],
+        interpret=interpret,
     )(u, v, jnp.reshape(angle, (1, 1)).astype(jnp.float32), chol,
       y[None, :], mask[None, :])[0, 0]
 
@@ -375,48 +411,53 @@ def _fused_rot_weights_kernel(u_ref, v_ref, ang_ref, c_ref, y_ref, mask_ref,
         out_ref[:] = jnp.sum(acc_ref[:], axis=1, keepdims=True)
 
 
-def _pallas_weights(chol, u, y, mask, likelihood, whiten_dtype=jnp.float32):
+def _pallas_weights(chol, u, y, mask, likelihood, whiten_dtype=jnp.float32,
+                    interpret=False):
     s, n = u.shape
     assert n % _BLK == 0
     kern = functools.partial(_fused_weights_kernel, likelihood=likelihood,
                              whiten_dtype=whiten_dtype)
+    blk = _col_block(s, n, n_u=1)
     return pl.pallas_call(
         kern,
-        grid=(n // _BLK,),
+        grid=(n // blk,),
         in_specs=[
             pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((s, 1), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s, blk), jnp.float32)],
+        interpret=interpret,
     )(u, chol, y[None, :], mask[None, :])[:, 0]
 
 
 def _pallas_rot_weights(chol, u, v, angle, y, mask, likelihood,
-                        whiten_dtype=jnp.float32):
+                        whiten_dtype=jnp.float32, interpret=False):
     s, n = u.shape
     assert n % _BLK == 0
     kern = functools.partial(_fused_rot_weights_kernel, likelihood=likelihood,
                              whiten_dtype=whiten_dtype)
+    blk = _col_block(s, n, n_u=2)
     return pl.pallas_call(
         kern,
-        grid=(n // _BLK,),
+        grid=(n // blk,),
         in_specs=[
             pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, n), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BLK, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, n), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((s, 1), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((s, _BLK), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s, blk), jnp.float32)],
+        interpret=interpret,
     )(u, v, jnp.reshape(angle, (1, 1)).astype(jnp.float32), chol,
       y[None, :], mask[None, :])[:, 0]
 

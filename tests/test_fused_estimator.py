@@ -255,3 +255,63 @@ def test_bf16_whiten_density_perturbation_bounded():
     # measured ~1e-2 on this problem.  S=16 IS noise is ~0.1-1 nats.
     assert np.max(np.abs(deltas)) < 0.1, deltas
     assert np.any(deltas != 0.0)  # a genuinely different estimator
+
+
+def test_wide_col_block_interpret_matches_ref():
+    """_col_block widens the kernel's column blocks (n=640 -> one 640-wide
+    grid step at S<=64); the interpret-mode result must match the jnp
+    reference for every wrapper, and forcing 128 must give the same numbers
+    (the reduction is over the acc buffer, independent of blocking)."""
+    import os
+
+    from auxpm_tpu.ops import fused_estimator as fe
+
+    assert fe._col_block(64, 640, n_u=2) == 640
+    assert fe._col_block(64, 128) == 128
+    # VMEM guard: huge n falls back to narrower blocks
+    assert fe._col_block(64, 128 * 64, n_u=2) < 128 * 64
+
+    rng = np.random.default_rng(11)
+    s, n = 16, 640
+    u = jnp.asarray(rng.standard_normal((s, n)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((s, n)), jnp.float32)
+    chol = jnp.asarray(
+        np.tril(rng.standard_normal((n, n)) * 0.05) + np.eye(n), jnp.float32
+    )
+    y = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    a = jnp.float32(0.7)
+
+    want = float(fe._ref_estimate(chol, u, y, mask, "logistic", n_blocks=8))
+    want_rot = float(fe._ref_estimate(
+        chol, u * jnp.cos(a) + v * jnp.sin(a), y, mask, "logistic", n_blocks=8
+    ))
+    want_w = np.asarray(fe._ref_weights(chol, u, y, mask, "logistic"))
+
+    for forced in ("0", "128"):
+        os.environ["AUXPM_FUSED_COL_BLOCK"] = forced
+        try:
+            got = float(fe._pallas_estimate(
+                chol, u, y, mask, "logistic", n_blocks=8, interpret=True
+            ))
+            np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-5)
+            got_rot = float(fe._pallas_estimate_rot(
+                chol, u, v, a, y, mask, "logistic", n_blocks=8, interpret=True
+            ))
+            np.testing.assert_allclose(got_rot, want_rot, rtol=2e-6, atol=2e-5)
+            got_w = np.asarray(fe._pallas_weights(
+                chol, u, y, mask, "logistic", interpret=True
+            ))
+            np.testing.assert_allclose(got_w, want_w, rtol=2e-6, atol=2e-5)
+            got_rw = np.asarray(fe._pallas_rot_weights(
+                chol, u, v, a, y, mask, "logistic", interpret=True
+            ))
+            np.testing.assert_allclose(
+                got_rw,
+                np.asarray(fe._ref_weights(
+                    chol, u * jnp.cos(a) + v * jnp.sin(a), y, mask, "logistic"
+                )),
+                rtol=2e-6, atol=2e-5,
+            )
+        finally:
+            os.environ.pop("AUXPM_FUSED_COL_BLOCK", None)

@@ -106,7 +106,9 @@ def main(argv=None):
         states = shard_states(states, mesh, shard_particles=shard_particles)
         step = (
             SAMPLERS[cfg.sampler](run_target, particle_axis=particle_axis,
-                                  n_ess=cfg.n_ess)
+                                  n_ess=cfg.n_ess,
+                                  **({"n_sigma_extra": cfg.n_sigma_extra}
+                                     if cfg.sampler != "aux_slice_rd" else {}))
             if cfg.sampler.startswith("aux_slice")
             else SAMPLERS[cfg.sampler](run_target, particle_axis=particle_axis)
         )
@@ -119,7 +121,9 @@ def main(argv=None):
 
     else:
         step = (
-            SAMPLERS[cfg.sampler](target, n_ess=cfg.n_ess)
+            SAMPLERS[cfg.sampler](target, n_ess=cfg.n_ess,
+                                  **({"n_sigma_extra": cfg.n_sigma_extra}
+                                     if cfg.sampler != "aux_slice_rd" else {}))
             if cfg.sampler.startswith("aux_slice")
             else SAMPLERS[cfg.sampler](target)
         )

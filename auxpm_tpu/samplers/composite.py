@@ -19,7 +19,7 @@ from auxpm_tpu.samplers.pm_mh import make_pm_mh
 from auxpm_tpu.samplers.slice_theta import make_slice_theta, make_slice_theta_rd
 
 
-def make_aux_slice(target, particle_axis=None, n_ess=1):
+def make_aux_slice(target, particle_axis=None, n_ess=1, n_sigma_extra=0):
     """The paper's method: ESS(u) then per-coordinate slice(theta).
 
     ``n_ess`` repeats the elliptical-slice u-update per iteration.  The
@@ -27,11 +27,13 @@ def make_aux_slice(target, particle_axis=None, n_ess=1):
     extra repeats cost only O(S n²) estimator probes while directly
     attacking the log L̂ autocorrelation that throttles theta mixing —
     the cheap knob for the estimator-noise-limited regime.
+    ``n_sigma_extra`` (static) repeats the Cholesky-free log_sigma slice
+    update per sweep (samplers/slice_theta.make_slice_theta).
     """
     return compose(
         [
             ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
-            ("slice_theta", make_slice_theta(target)),
+            ("slice_theta", make_slice_theta(target, n_sigma_extra)),
         ]
     )
 
@@ -70,7 +72,8 @@ def make_joint_mh_kernel(target, particle_axis=None):
     return compose([("joint_mh", make_joint_mh(target, particle_axis))])
 
 
-def make_aux_slice_joint(target, particle_axis=None, n_ess=1):
+def make_aux_slice_joint(target, particle_axis=None, n_ess=1,
+                         n_sigma_extra=0):
     """aux_slice with a joint (theta, u) random-direction move appended —
     attacks cross-coordinate posterior correlation AND the theta–log L-hat
     coupling in one extra probe sequence per step."""
@@ -79,13 +82,14 @@ def make_aux_slice_joint(target, particle_axis=None, n_ess=1):
     return compose(
         [
             ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
-            ("slice_theta", make_slice_theta(target)),
+            ("slice_theta", make_slice_theta(target, n_sigma_extra)),
             ("joint_slice", make_joint_slice(target, particle_axis)),
         ]
     )
 
 
-def make_aux_slice_pcrd(target, particle_axis=None, n_ess=1):
+def make_aux_slice_pcrd(target, particle_axis=None, n_ess=1,
+                        n_sigma_extra=0):
     """aux_slice with a random-direction theta slice appended after the
     per-coordinate sweep — attacks the (log_ell, log_sigma) posterior
     correlation that axis-aligned moves cross in small diagonal steps.
@@ -95,7 +99,7 @@ def make_aux_slice_pcrd(target, particle_axis=None, n_ess=1):
     return compose(
         [
             ("ess_u", make_ess_u(target, particle_axis, n_repeats=n_ess)),
-            ("slice_theta", make_slice_theta(target)),
+            ("slice_theta", make_slice_theta(target, n_sigma_extra)),
             ("slice_theta_rd", make_slice_theta_rd(target)),
         ]
     )

@@ -116,8 +116,20 @@ def _slice_1d(key, x0, log_fx0, f, f2, w, max_step_out, max_shrink, dtype):
     )
 
 
-def make_slice_theta(target):
-    """Per-coordinate slice sampling of theta | u (coordinates scanned)."""
+def make_slice_theta(target, n_sigma_extra=0):
+    """Per-coordinate slice sampling of theta | u (coordinates scanned).
+
+    ``n_sigma_extra`` (STATIC — it unrolls a Python loop; structure-aware
+    targets only, default 0):
+    repeat the LAST coordinate's update that many extra times per sweep.
+    For the GP target the last coordinate is log_sigma, whose probe factory
+    is Cholesky-free (gp_classification._sigma_coord_factory: one chol_r
+    per sweep, each probe pays only the O(S n²) whiten) — extra repeats
+    reuse the SAME factory, so k extra log_sigma updates cost k·(probes)
+    estimator calls and ZERO extra Choleskys.  Repeating a valid slice
+    update is itself a valid kernel, so exactness is untouched; the NumPy
+    oracle parity holds at the default 0.
+    """
 
     def step(state: ChainState, params: dict):
         widths = jnp.broadcast_to(
@@ -141,23 +153,40 @@ def make_slice_theta(target):
             # (small) coordinate count.
             theta, log_post, log_lik = theta0, log_post0, log_lik0
             n_probe_total = jnp.float32(0.0)
+            n_probe_chol = jnp.float32(0.0)  # probes that paid a Cholesky
+            n_coords = len(target.coord_estimators)
             for i, factory in enumerate(target.coord_estimators):
+                last = i == n_coords - 1
+                reps = 1 + (n_sigma_extra if last else 0)
+                # the factory closes over the OTHER coordinates only, so it
+                # stays valid across repeats of its own coordinate
                 f, f2 = factory(theta, state.u)
-                x_new, lp_new, ll_new, done, n_probe = _slice_1d(
-                    coord_keys[i],
-                    theta[i],
-                    log_post,
-                    f,
-                    f2,
-                    widths[i],
-                    max_step_out,
-                    max_shrink,
-                    dtype,
-                )
-                theta = theta.at[i].set(x_new)
-                log_post = lp_new
-                log_lik = jnp.where(done, ll_new, log_lik)
-                n_probe_total = n_probe_total + n_probe
+                for rep in range(reps):
+                    # rep 0 consumes coord_keys[i] exactly as before so the
+                    # default path stays bitwise-identical (oracle parity);
+                    # extra reps fold in their index
+                    k_rep = (
+                        coord_keys[i]
+                        if rep == 0
+                        else jax.random.fold_in(coord_keys[i], rep)
+                    )
+                    x_new, lp_new, ll_new, done, n_probe = _slice_1d(
+                        k_rep,
+                        theta[i],
+                        log_post,
+                        f,
+                        f2,
+                        widths[i],
+                        max_step_out,
+                        max_shrink,
+                        dtype,
+                    )
+                    theta = theta.at[i].set(x_new)
+                    log_post = lp_new
+                    log_lik = jnp.where(done, ll_new, log_lik)
+                    n_probe_total = n_probe_total + n_probe
+                    if not last:
+                        n_probe_chol = n_probe_chol + n_probe
         else:
 
             def coord_body(i, carry):
@@ -197,9 +226,12 @@ def make_slice_theta(target):
                 coord_body,
                 (theta0, log_post0, log_lik0, jnp.float32(0.0)),
             )
+            # generic path: every probe pays the full estimator (incl. its
+            # Cholesky for targets that have one)
+            n_probe_chol = n_probe_total
 
         new_state = state.replace(theta=theta, log_lik_hat=log_lik, key=key)
-        info = {"n_probe": n_probe_total}
+        info = {"n_probe": n_probe_total, "n_probe_chol": n_probe_chol}
         return new_state, info
 
     return step

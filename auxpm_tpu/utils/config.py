@@ -36,6 +36,8 @@ class RunConfig:
     widths: float = 1.0
     max_step_out: int = 8  # slice stepping-out cap; 0 = shrinkage-only
     n_ess: int = 1  # ESS u-update repeats per step (aux_slice*; bench: 4)
+    n_sigma_extra: int = 0  # extra Cholesky-free log_sigma slice updates
+                            # per sweep (structure-aware targets)
     nuts_step_size: float = 0.3
     # SMC
     particles: int = 4096
@@ -197,6 +199,8 @@ def initial_params(cfg: RunConfig, target):
     weakness 5)."""
     import jax.numpy as jnp
 
+    # NOTE: n_sigma_extra is a STATIC factory arg (samplers/composite
+    # make_aux_slice*), not a params entry — params are traced under jit.
     widths = jnp.full((target.d,), cfg.widths, jnp.float32)
     slice_g = {"widths": widths, "max_step_out": cfg.max_step_out}
     if cfg.sampler == "pm_mh":

@@ -73,6 +73,7 @@ PROPOSAL = os.environ.get("BENCH_PROPOSAL", "prior")
 S = int(os.environ.get("BENCH_S", 64))
 N_ESS = int(os.environ.get("BENCH_N_ESS", 4))
 WHITEN = os.environ.get("BENCH_WHITEN", "float32")  # float32 | bfloat16
+SIGMA_EXTRA = int(os.environ.get("BENCH_SIGMA_EXTRA", 0))
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 SEEDS = int(os.environ.get("BENCH_SEEDS", 3))
 V5E_BF16_PEAK = 197e12  # per-chip bf16 peak; MFU denominator (f32 work
@@ -101,7 +102,7 @@ def main():
     target = make_gp_classification(
         x, y, n_importance=S, proposal=PROPOSAL, whiten_dtype=WHITEN
     )
-    step = make_aux_slice(target, n_ess=N_ESS)
+    step = make_aux_slice(target, n_ess=N_ESS, n_sigma_extra=SIGMA_EXTRA)
 
     from auxpm_tpu.utils.profiling import device_sync
 
@@ -141,6 +142,9 @@ def main():
             f"mean {np_probe.mean():.1f} max {np_probe.max():.0f}"
         )
         probe_stats["slice"].append(float(np_probe.mean()))
+        probe_stats["chol"].append(
+            float(np.asarray(infos["slice_theta/n_probe_chol"]).mean())
+        )
         probe_stats["ess"].append(
             float(np.asarray(infos["ess_u/n_shrink"]).mean())
         )
@@ -173,7 +177,7 @@ def main():
             params["slice_theta"]["widths"], np.float64
         )
 
-    probe_stats = {"slice": [], "ess": []}
+    probe_stats = {"slice": [], "ess": [], "chol": []}
     per_seed = [run_one_seed(si) for si in range(SEEDS)]
     ess_rates = np.asarray([e / w for e, w, _, _ in per_seed])
     ess_per_sec = float(ess_rates.mean())
@@ -190,26 +194,29 @@ def main():
     # MFU from an analytic per-step FLOP model at the MEASURED mean probe
     # counts.  (XLA's cost_analysis counts while_loop bodies once, so its
     # static figure is a meaningless lower bound for this workload.)  Per
-    # chain-step: (1 + p_slice/2) Cholesky factorisations (prepare + the
-    # ell-coordinate probes; the sigma coordinate is Cholesky-free) at
-    # n^3/3 + the Gram build at ~4 n^2, and every estimator probe — N_ESS
-    # ESS probes of (1 + shrinks) plus all slice probes — pays the 2 S n^2
-    # whiten matmul.  This counts useful model FLOPs, not the masked-lane
-    # waste, so it is the honest MFU numerator.
+    # chain-step: 2 + p_chol Cholesky factorisations (the ESS prepare, the
+    # sigma-factory's chol_r, and each ell-coordinate probe — p_chol is the
+    # MEASURED mean of slice_theta/n_probe_chol, so extra Cholesky-free
+    # sigma updates don't inflate the count) at n^3/3 + the Gram build at
+    # ~4 n^2, and every estimator probe — N_ESS ESS probes of (1 + shrinks)
+    # plus all slice probes — pays the 2 S n^2 whiten matmul.  This counts
+    # useful model FLOPs, not the masked-lane waste, so it is the honest
+    # MFU numerator.
     n_pad = target.u_shape[1]
     p_slice = float(np.mean(probe_stats["slice"]))
+    p_chol = float(np.mean(probe_stats["chol"]))
     p_ess = float(np.mean(probe_stats["ess"]))
     chol_flops = n_pad**3 / 3 + 4.0 * n_pad**2
     est_flops = 2.0 * S * n_pad**2
-    flops_per_chain_step = (1.0 + p_slice / 2.0) * chol_flops + (
+    flops_per_chain_step = (2.0 + p_chol) * chol_flops + (
         N_ESS * (1.0 + p_ess) + p_slice
     ) * est_flops
     model_tflops = flops_per_chain_step * steps_per_sec_tpu / 1e12
     mfu = model_tflops * 1e12 / V5E_BF16_PEAK
     log(
         f"MFU: {model_tflops:.3f} model TFLOP/s (analytic, p_slice="
-        f"{p_slice:.1f}, p_ess={p_ess:.1f}) = {100 * mfu:.2f}% of bf16 peak "
-        f"(f32 path: ceiling ~12.5%)"
+        f"{p_slice:.1f}, p_chol={p_chol:.1f}, p_ess={p_ess:.1f}) = "
+        f"{100 * mfu:.2f}% of bf16 peak (f32 path: ceiling ~12.5%)"
     )
 
     # ---- CPU oracle baseline (identical kernel variant) ----

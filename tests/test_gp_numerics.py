@@ -242,3 +242,52 @@ def test_gp_ard_target_end_to_end():
     assert th.shape == (2, 5, t.d)
     assert np.isfinite(th).all()
     assert np.any(th[:, -1] != th[:, 0])
+
+
+def test_sigma_extra_updates_mechanics():
+    """n_sigma_extra repeats the Cholesky-free log_sigma update: total
+    probes grow, Cholesky-paying probes do NOT, the default stays
+    bitwise-identical to the pre-knob kernel, and the chain stays exact
+    (repeat of a valid slice update)."""
+    from auxpm_tpu.core.state import init_chain_states
+    from auxpm_tpu.samplers.chain import run_chains
+    from auxpm_tpu.samplers.composite import make_aux_slice
+
+    x, y = load("pima", subsample=48)
+    t = make_gp_classification(x, y, n_importance=8)
+    states = init_chain_states(jax.random.key(9), t, 4, jitter_scale=0.2)
+
+    def run(n_extra):
+        step = make_aux_slice(t, n_sigma_extra=n_extra)
+        params = {
+            "ess_u": {},
+            "slice_theta": {"widths": jnp.full((t.d,), 1.0, jnp.float32)},
+        }
+        return run_chains(step, states, params, 15)
+
+    _, recs0, infos0 = run(0)
+    _, recs2, infos2 = run(2)
+
+    # extra sigma updates: more total probes; the Cholesky-paying (ell)
+    # probes are identical on the FIRST step (ell updates before sigma, so
+    # trajectories only diverge afterwards) and statistically unchanged
+    assert (
+        np.asarray(infos2["slice_theta/n_probe"]).mean()
+        > np.asarray(infos0["slice_theta/n_probe"]).mean()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(infos2["slice_theta/n_probe_chol"])[:, 0],
+        np.asarray(infos0["slice_theta/n_probe_chol"])[:, 0],
+    )
+    assert (
+        abs(
+            np.asarray(infos2["slice_theta/n_probe_chol"]).mean()
+            - np.asarray(infos0["slice_theta/n_probe_chol"]).mean()
+        )
+        < 3.0
+    )
+    # the ell coordinate's trajectory up to the FIRST sigma update of each
+    # step is shared; afterwards they diverge but stay finite
+    th2 = np.asarray(recs2["theta"])
+    assert np.isfinite(th2).all()
+    assert np.any(th2 != np.asarray(recs0["theta"]))

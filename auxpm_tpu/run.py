@@ -242,6 +242,7 @@ def _run_smc(cfg, target, metrics, key):
             n_mcmc=cfg.smc_n_mcmc, ess_frac=cfg.smc_ess_frac,
             carry_u=cfg.smc_carry_u, n_u_mh=cfg.smc_n_u_mh,
             rejuv_batch=cfg.smc_rejuv_batch,
+            rejuv_dispatches=cfg.smc_rejuv_dispatches,
         )
     else:
         run = make_smc(

@@ -132,6 +132,7 @@ def make_smc_sharded(
     n_u_mh=2,
     rejuv_batch=256,
     time_stages=False,
+    rejuv_dispatches=1,
 ):
     """Sharded analogue of ``smc.make_smc``; same semantics, same PRNG
     discipline per particle, population sharded over the mesh.
@@ -146,6 +147,10 @@ def make_smc_sharded(
       n_u_mh: independence-MH u-refresh proposals per stage (carry_u=False).
       rejuv_batch: particle chunk size for re-materialising u during
         rejuvenation (carry_u=False); peak memory O(rejuv_batch * S * n).
+      rejuv_dispatches: carry_u=False only — split each stage's
+        rejuvenation into this many separate device dispatches over
+        contiguous local particle groups (dispatch-wall-time bound; results
+        bitwise-equal to 1).  1 = whole stage in one dispatch (default).
     """
     n_shards = mesh.shape[_AXIS] * mesh.shape.get("particles", 1)
     if mesh.shape.get("particles", 1) != 1:
@@ -184,13 +189,19 @@ def make_smc_sharded(
         var = jax.lax.pmean(jnp.mean((states.theta - mean) ** 2, axis=0), _AXIS)
         std = jnp.sqrt(var) + 1e-6
         params = rejuvenation_params(std)
-        return states, beta_new, log_z_inc, params
+        return states, beta_new, log_z_inc, params, std
+
+    def _rejuv_params(std, transition):
+        params = rejuvenation_params(std)
+        if hasattr(transition, "stage_names"):
+            params = {k: v for k, v in params.items() if k in transition.stage_names}
+        return params
 
     # ------------------------------------------------------------------
     # carry_u=True: materialised u travels with its particle
     # ------------------------------------------------------------------
     def _stage_local(states, beta, u01, k_rej):
-        states, beta_new, log_z_inc, params = _resample_and_params(
+        states, beta_new, log_z_inc, params, _std = _resample_and_params(
             states, beta, u01, k_rej
         )
 
@@ -225,18 +236,10 @@ def make_smc_sharded(
     def _ll_of(theta, u):
         return target.log_lik_est(theta, u)
 
-    def _stage_local_light(states, beta, u01, k_rej):
-        # states.u holds raw key DATA (uint32 words) per particle
-        states, beta_new, log_z_inc, params = _resample_and_params(
-            states, beta, u01, k_rej
-        )
-
-        t_beta = tempered_target(target, beta_new)
-        transition = make_rejuvenation(t_beta)
-        if hasattr(transition, "stage_names"):
-            params = {k: v for k, v in params.items() if k in transition.stage_names}
-
-        chunk = _chunk_size(n_local, rejuv_batch)
+    def _make_one(beta_new, params, transition):
+        """Per-particle rejuvenation body (u-refresh IMH + theta-only
+        kernel); shared between the single-dispatch stage and the
+        split-dispatch path."""
 
         def one(theta, ll, u_key_data, key):
             k_imh, k_theta = jax.random.split(key)
@@ -287,11 +290,25 @@ def make_smc_sharded(
                 jnp.mean(accs.astype(u_dtype)),
             )
 
+        return one
+
+    def _stage_local_light(states, beta, u01, k_rej):
+        # states.u holds raw key DATA (uint32 words) per particle
+        states, beta_new, log_z_inc, params, _std = _resample_and_params(
+            states, beta, u01, k_rej
+        )
+
+        t_beta = tempered_target(target, beta_new)
+        transition = make_rejuvenation(t_beta)
+        if hasattr(transition, "stage_names"):
+            params = {k: v for k, v in params.items() if k in transition.stage_names}
+
+        one = _make_one(beta_new, params, transition)
         theta, ll, ukd, keys, u_acc = _chunked_map(
             one,
             (states.theta, states.log_lik_hat, states.u, states.key),
             n_local,
-            chunk,
+            _chunk_size(n_local, rejuv_batch),
         )
         states = ChainState(theta=theta, u=ukd, log_lik_hat=ll, key=keys)
         u_acc = jax.lax.pmean(jnp.mean(u_acc), _AXIS)
@@ -310,6 +327,87 @@ def make_smc_sharded(
             out_specs=(spec, P(), P(), P()),
             check_vma=False,
         )(states)
+
+    # ------------------------------------------------------------------
+    # Split-dispatch stage (carry_u=False only): the resample head runs as
+    # one dispatch, then the rejuvenation runs as ``rejuv_dispatches``
+    # separate dispatches over contiguous local particle groups.  Needed
+    # wherever a single dispatch's wall time is bounded (the tunneled dev
+    # backend kills ~60s dispatches; a 1M-particle GP rejuvenation is one
+    # ~5-minute dispatch otherwise).  Per-particle math is IDENTICAL to the
+    # single-dispatch stage (grouping a vmap changes nothing), so results
+    # are bitwise-equal to rejuv_dispatches=1 — tested in test_smc.py.
+    # ------------------------------------------------------------------
+    # group size = largest divisor of n_local <= n_local/K, so the group
+    # count is the smallest divisor-compatible count >= rejuv_dispatches
+    g_size = _chunk_size(n_local, max(1, n_local // max(1, int(rejuv_dispatches))))
+    n_groups = n_local // g_size
+
+    @jax.jit
+    def stage_head(states, beta, key):
+        k_res, k_rej = jax.random.split(key)
+        u01 = jax.random.uniform(k_res, (), states.log_lik_hat.dtype)
+
+        def local(s):
+            s2, beta_new, log_z_inc, _params, std = _resample_and_params(
+                s, beta, u01, k_rej
+            )
+            return s2, beta_new, log_z_inc, std
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=(spec, P(), P(), P()),
+            check_vma=False,
+        )(states)
+
+    @jax.jit
+    def stage_rejuv_group(states, beta_new, std, j):
+        def local(s, beta_new, std, j):
+            t_beta = tempered_target(target, beta_new)
+            transition = make_rejuvenation(t_beta)
+            params = _rejuv_params(std, transition)
+            one = _make_one(beta_new, params, transition)
+
+            off = j * g_size
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, off, g_size, 0)
+
+            key_data = jax.random.key_data(s.key)
+            theta, ll, ukd, keys, u_acc = _chunked_map(
+                one,
+                (
+                    sl(s.theta),
+                    sl(s.log_lik_hat),
+                    sl(s.u),
+                    jax.random.wrap_key_data(sl(key_data)),
+                ),
+                g_size,
+                _chunk_size(g_size, rejuv_batch),
+            )
+
+            def upd(x, vals):
+                return jax.lax.dynamic_update_slice_in_dim(x, vals, off, 0)
+
+            s2 = ChainState(
+                theta=upd(s.theta, theta),
+                u=upd(s.u, ukd),
+                log_lik_hat=upd(s.log_lik_hat, ll),
+                key=jax.random.wrap_key_data(
+                    upd(key_data, jax.random.key_data(keys))
+                ),
+            )
+            return s2, jax.lax.pmean(jnp.mean(u_acc), _AXIS)
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(spec, P(), P(), P()),
+            out_specs=(spec, P()),
+            check_vma=False,
+        )(states, beta_new, std, j)
 
     def _init_prior(key):
         if target.sample_prior is None:
@@ -376,12 +474,25 @@ def make_smc_sharded(
             device_sync(states.theta)
         init_wall = _time.time() - t0
         beta = jnp.asarray(0.0, states.theta.dtype)
+        split = (not carry_u) and n_groups > 1
         log_z, betas, u_accs, walls = 0.0, [0.0], [], []
         for s in range(max_stages):
             t0 = _time.time()
-            states, beta, log_z_inc, u_acc = stage(
-                states, beta, jax.random.fold_in(k_loop, s)
-            )
+            if split:
+                states, beta, log_z_inc, std = stage_head(
+                    states, beta, jax.random.fold_in(k_loop, s)
+                )
+                accs = []
+                for j in range(n_groups):
+                    states, acc_j = stage_rejuv_group(
+                        states, beta, std, jnp.int32(j)
+                    )
+                    accs.append(acc_j)
+                u_acc = sum(float(a) for a in accs) / n_groups
+            else:
+                states, beta, log_z_inc, u_acc = stage(
+                    states, beta, jax.random.fold_in(k_loop, s)
+                )
             log_z += float(log_z_inc)
             betas.append(float(beta))
             u_accs.append(float(u_acc))

@@ -51,6 +51,7 @@ class RunConfig:
     smc_carry_u: bool = True
     smc_n_u_mh: int = 2
     smc_rejuv_batch: int = 256
+    smc_rejuv_dispatches: int = 1  # split stage rejuvenation into K dispatches
     # parallel
     sharded: bool = False
     particle_shards: int = 1

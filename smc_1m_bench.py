@@ -49,12 +49,19 @@ def main(argv=None):
     p.add_argument("--target", choices=("toy", "gp"), default="toy")
     p.add_argument("--particles", type=int, default=2**20)
     p.add_argument("--subsample", type=int, default=128, help="GP dataset size")
+    p.add_argument("--no-pad", action="store_true",
+                   help="GP: pad_to_tiles=False (small-n runs; keeps the "
+                        "per-stage dispatch inside the tunneled device's "
+                        "~60s watchdog at 1M particles)")
     p.add_argument("--n-importance", type=int, default=32)
     p.add_argument("--rejuv", default="aux_nuts",
                    choices=("aux_nuts", "aux_hmc", "aux_slice", "aux_mh"))
     p.add_argument("--n-mcmc", type=int, default=1)
     p.add_argument("--n-u-mh", type=int, default=2)
     p.add_argument("--rejuv-batch", type=int, default=4096)
+    p.add_argument("--rejuv-dispatches", type=int, default=1,
+                   help="split each stage's rejuvenation into K dispatches "
+                        "(keeps per-dispatch wall under backend watchdogs)")
     p.add_argument("--ess-frac", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="JSON artifact path")
@@ -86,7 +93,10 @@ def main(argv=None):
         from auxpm_tpu.models.gp_classification import make_gp_classification
 
         x, y = load("pima", subsample=args.subsample, seed=args.seed)
-        target = make_gp_classification(x, y, n_importance=args.n_importance)
+        target = make_gp_classification(
+            x, y, n_importance=args.n_importance,
+            pad_to_tiles=not args.no_pad,
+        )
         log_z_true = None
 
     kind = {"aux_nuts": "nuts", "aux_hmc": "hmc", "aux_slice": "slice_theta",
@@ -98,7 +108,7 @@ def main(argv=None):
         target, rejuv, args.particles, mesh,
         n_mcmc=args.n_mcmc, ess_frac=args.ess_frac,
         carry_u=False, n_u_mh=args.n_u_mh, rejuv_batch=args.rejuv_batch,
-        time_stages=True,
+        time_stages=True, rejuv_dispatches=args.rejuv_dispatches,
     )
 
     t0 = time.time()

@@ -242,3 +242,44 @@ def test_smc_light_gp_u_refresh_floor_s64():
     # refresh stays well above the frozen-u regime
     assert acc[-1] > 0.1, acc
     assert all(a > 0.05 for a in acc), acc
+
+
+def test_smc_light_split_dispatch_bitwise():
+    """rejuv_dispatches=K splits each stage's rejuvenation into K device
+    dispatches over contiguous particle groups (dispatch-wall-time bound,
+    e.g. backend watchdogs).  Per-particle math is untouched, so the result
+    must be BITWISE-equal to the single-dispatch stage."""
+    from auxpm_tpu.samplers.composite import THETA_ONLY
+    from auxpm_tpu.samplers.smc_sharded import make_smc_sharded
+
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.5)
+    mesh = make_mesh(n_chains_shards=8)
+
+    def run_k(k):
+        run = make_smc_sharded(
+            target,
+            THETA_ONLY["slice_theta"],
+            n_particles=2048,
+            mesh=mesh,
+            n_mcmc=1,
+            carry_u=False,
+            n_u_mh=2,
+            rejuv_batch=64,
+            rejuv_dispatches=k,
+        )
+        return run(jax.random.key(12))
+
+    states1, diag1 = run_k(1)
+    states4, diag4 = run_k(4)
+    assert diag1["betas"] == diag4["betas"]
+    np.testing.assert_array_equal(
+        np.asarray(states1.theta), np.asarray(states4.theta)
+    )
+    np.testing.assert_array_equal(np.asarray(states1.u), np.asarray(states4.u))
+    np.testing.assert_array_equal(
+        np.asarray(states1.log_lik_hat), np.asarray(states4.log_lik_hat)
+    )
+    np.testing.assert_allclose(
+        np.asarray(diag1["u_mh_accept"]), np.asarray(diag4["u_mh_accept"]),
+        rtol=1e-6,
+    )

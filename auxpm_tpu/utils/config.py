@@ -20,7 +20,18 @@ class RunConfig:
     dataset: str = "pima"  # gp only: pima | breast_cancer | abalone
     n_importance: int = 16
     likelihood: str = "logistic"
-    proposal: str = "prior"  # importance proposal: prior | laplace
+    # Importance proposal: "prior" (the perf path) | "laplace".
+    # laplace is a CORRECTNESS/variance capability, OUT OF THE PERF ENVELOPE
+    # (VERDICT r2 item 8, resolved by measurement 2026-08-19): its prepare()
+    # is 11.5x the prior prepare at newton_iters=6, and even a PERFECT
+    # warm start (iters=1) leaves it at 6.1x — the Sigma_q formation (two
+    # O(n^3) triangular solve batches + 2 extra Choleskys, models/laplace.py)
+    # dominates, not the Newton loop, so carrying a warm mode across probes
+    # cannot close the gap.  It also disables the Cholesky-free log_sigma
+    # coordinate path.  Use it when estimator variance at small S matters
+    # more than wall-clock (it reaches lower variance at S=8 than prior at
+    # S=64); benchmark numbers are always quoted on the prior path.
+    proposal: str = "prior"
     whiten_dtype: str = "float32"  # whiten GEMM precision: float32 | bfloat16
     ard: bool = False
     subsample: Optional[int] = None

@@ -62,19 +62,35 @@ def _col_block(s, n, n_u=1):
 
     ``n_u``: how many (S, n) operands the kernel holds (1, or 2 for the
     rotated-proposal variants).
+
+    NOTE (advisor finding r3): the forced value is clamped to the same VMEM
+    budget as the heuristic (a wider block would fail at Mosaic compile),
+    and because the column-block width changes the f32 accumulation
+    grouping, AUXPM_FUSED_COL_BLOCK is part of the ESTIMATOR DEFINITION for
+    reproducibility purposes — resume a checkpointed run under the same
+    setting (utils/config hashes it into the run config when set).
     """
     import os
+    import warnings
+
+    budget = 10 * 2**20  # bytes; conservative vs the 16 MB scoped default
+
+    def _working(blk):
+        return 4 * (n_u * s * n + 2 * blk * n + s * blk + 4 * blk)
 
     forced = int(os.environ.get("AUXPM_FUSED_COL_BLOCK", "0"))
     if forced and forced % _BLK == 0 and n % forced == 0:
-        return forced
-    budget = 10 * 2**20  # bytes; conservative vs the 16 MB scoped default
+        if _working(forced) <= budget:
+            return forced
+        warnings.warn(
+            f"AUXPM_FUSED_COL_BLOCK={forced} exceeds the {budget >> 20} MB "
+            "VMEM budget at this shape; falling back to the heuristic"
+        )
     for k in range(n // _BLK, 0, -1):
         blk = k * _BLK
         if n % blk:
             continue
-        working = 4 * (n_u * s * n + 2 * blk * n + s * blk + 4 * blk)
-        if working <= budget:
+        if _working(blk) <= budget:
             return blk
     return _BLK
 

@@ -130,6 +130,17 @@ def make_slice_theta(target, n_sigma_extra=0):
     update is itself a valid kernel, so exactness is untouched; the NumPy
     oracle parity holds at the default 0.
     """
+    if n_sigma_extra and target.coord_estimators is None:
+        # the generic fori_loop path below has no per-coordinate factories,
+        # so the knob would be a silent no-op (advisor finding r3) — e.g.
+        # `--proposal laplace --n-sigma-extra 4`.
+        import warnings
+
+        warnings.warn(
+            "n_sigma_extra > 0 requires a target with coord_estimators "
+            "(structure-aware per-coordinate probes); ignoring it for "
+            f"target {getattr(target, 'name', target)!r}"
+        )
 
     def step(state: ChainState, params: dict):
         widths = jnp.broadcast_to(

@@ -33,9 +33,16 @@ def _config_hash(config: dict) -> str:
 
 def _assemble_addressable(leaf) -> np.ndarray:
     """Copy a jax.Array's addressable shards into one host buffer using each
-    shard's global ``.index`` slices (correct for any sharding layout,
-    including multi-axis and replicated).  Returns the region
-    [min_start, max_stop) per axis — the full array on a single process."""
+    shard's global ``.index`` slices.  Returns the bounding-box region
+    [min_start, max_stop) per axis — the full array on a single process.
+
+    Correct only when this process's (deduplicated) shards exactly TILE that
+    bounding box — always true single-process and for rectangular
+    per-process regions; a multi-host mesh whose device order scatters a
+    process's shards non-contiguously would leave gaps, so coverage is
+    VALIDATED before writing (advisor finding r3): the union of distinct
+    shard boxes must cover out.size exactly, else we raise rather than
+    silently checkpoint uninitialised memory."""
     shards = list(leaf.addressable_shards)
     gshape = leaf.shape
     ndim = len(gshape)
@@ -51,6 +58,8 @@ def _assemble_addressable(leaf) -> np.ndarray:
     ]
     first = np.asarray(shards[0].data)
     out = np.empty([sp - st for st, sp in zip(starts, stops)], first.dtype)
+    seen: set[tuple] = set()
+    covered = 0
     for s in shards:
         sl = tuple(
             slice(
@@ -59,7 +68,18 @@ def _assemble_addressable(leaf) -> np.ndarray:
             )
             for ix, st, g in zip(s.index, starts, gshape)
         )
+        key = tuple((x.start, x.stop) for x in sl)
+        if key not in seen:  # replicas repeat the same box; count once
+            seen.add(key)
+            covered += int(np.prod([x.stop - x.start for x in sl])) if ndim else 1
         out[sl] = np.asarray(s.data)
+    if covered != out.size:
+        raise ValueError(
+            "checkpoint shards do not tile this process's bounding box "
+            f"({covered} of {out.size} elements covered) — non-rectangular "
+            "per-process shard layout; refusing to write a checkpoint with "
+            "uninitialised gaps"
+        )
     return out
 
 

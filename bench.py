@@ -230,10 +230,11 @@ def main():
 
     oracle = NumpyGPTarget(x, y, n_importance=S)
     log(f"oracle native gram: {oracle.use_native}")
-    # Widths: the LAST seed's adapted widths from the TPU protocol (advisor
-    # finding r2: hard-coded widths silently mistune the oracle whenever
-    # BENCH_S / BENCH_PROPOSAL / the dataset moves the posterior geometry).
-    widths = per_seed[-1][3]
+    # Widths: adapted widths from the TPU protocol, averaged ACROSS seeds
+    # (advisor findings r2+r3: hard-coded widths silently mistune the
+    # oracle; a single seed's widths let one unlucky warmup mistune all
+    # oracle repeats, understating the vs_baseline error bar).
+    widths = np.mean([ps[3] for ps in per_seed], axis=0)
     # 3 independent oracle repeats (VERDICT r2 item 9): the short stretch
     # swings ~+-15% on BLAS noise, so vs_baseline carries an error bar.
     cpu_rates = []

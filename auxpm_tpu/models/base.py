@@ -74,6 +74,14 @@ class Target:
     # materialising the rotated proposal (Pallas kernel on TPU —
     # ops/fused_estimator.py); used by samplers/ess_u.py when present.
     log_lik_est_rot: Optional[Callable] = None
+    # Optional factory ``n_repeats -> sweep`` where ``sweep(prepared, u,
+    # scal, v)`` runs the WHOLE elliptical-slice sweep (all repeats, the
+    # data-dependent bracket-shrink loop included) in one fused call with
+    # the prepared factor resident in VMEM (ops/ess_sweep.py — Pallas on
+    # TPU, jnp reference elsewhere).  samplers/ess_u.py prefers this over
+    # per-probe ``log_lik_est_rot`` calls when present; the sampled chain
+    # law is identical (same estimator expression, same key discipline).
+    ess_sweep_factory: Optional[Callable] = None
     # Optional: per-importance-sample log-weights ``(prepared, u) -> (S,)``
     # with ``log_lik_est_u == logsumexp(log_weights_u) - log S``.  Lets the
     # particle-sharding wrapper swap the local reduction for a collective

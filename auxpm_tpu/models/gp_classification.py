@@ -224,6 +224,7 @@ def make_gp_classification(
             "whiten_dtype != float32 needs the fused tile-aligned path "
             "(pad_to_tiles=True) with the prior proposal"
         )
+    ess_sweep_factory = None
     if use_fused and particle_axis is None:
         from auxpm_tpu.ops.fused_estimator import (
             make_fused_estimator,
@@ -238,6 +239,18 @@ def make_gp_classification(
             y_dev, mask, likelihood, n_blocks=nb_global,
             whiten_dtype=whiten_dtype,
         )
+
+        def ess_sweep_factory(n_repeats):
+            # Whole-sweep fused ESS update (ops/ess_sweep.py): one dispatch
+            # per sweep with C resident in VMEM across all probes — the
+            # VERDICT r3 item-1 lever.  Same estimator expression as the
+            # per-probe kernels, so the targeted posterior is unchanged.
+            from auxpm_tpu.ops.ess_sweep import make_fused_ess_sweep
+
+            return make_fused_ess_sweep(
+                y_dev, mask, likelihood, n_blocks=nb_global,
+                whiten_dtype=whiten_dtype, n_repeats=n_repeats,
+            )
     elif use_fused:
         from auxpm_tpu.ops.fused_estimator import (
             make_fused_rot_weights,
@@ -343,6 +356,7 @@ def make_gp_classification(
 
         coord_estimators = None
         log_lik_est_rot = None  # prepared is a tuple; no fused kernel path
+        ess_sweep_factory = None
     elif proposal != "prior":
         raise ValueError(f"unknown proposal {proposal!r}")
 
@@ -380,6 +394,7 @@ def make_gp_classification(
         prepare=prepare,
         log_lik_est_u=log_lik_est_u,
         log_lik_est_rot=log_lik_est_rot,
+        ess_sweep_factory=ess_sweep_factory,
         log_weights_u=log_weights_u,
         coord_estimators=coord_estimators,
         sample_prior=lambda key: prior_mean

@@ -29,6 +29,8 @@ safety net — on cap-hit the state is kept, an exact no-op).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -49,9 +51,74 @@ def make_ess_u(target, particle_axis=None, n_repeats=1):
     paying ``target.prepare`` (the Gram + Cholesky for GP targets) ONCE:
     theta is fixed throughout, so extra repeats cost only cheap estimator
     probes.  Repeats directly attack the log L̂ autocorrelation that
-    throttles theta mixing in the estimator-noise-limited regime."""
+    throttles theta mixing in the estimator-noise-limited regime.
+
+    When the target provides ``ess_sweep_factory`` (GP fused path,
+    unsharded), the WHOLE sweep — every repeat and every bracket-shrink
+    probe — runs as ONE fused call with the Cholesky factor resident in
+    VMEM (ops/ess_sweep.py): the per-probe dispatch + HBM re-read of C
+    that dominated the round-3 profile disappears, and each chain executes
+    only its own probe count instead of the vmapped worst lane's.  The
+    randomness is precomputed here with the EXACT key discipline of the
+    loop path below, so the sampled chain LAW is identical (measured
+    1.80x on the ESS step at the bench shape, scripts/ess_sweep_bench.py).
+
+    Trajectory-definition note: like ``whiten_dtype`` and the fused column
+    block, which path computes the probes is part of the realized float
+    TRAJECTORY — identical decisions and values to ~1 ulp, but not
+    guaranteed bitwise across paths (XLA lowers cos/sin per fusion
+    context; on TPU the measured one-step difference is exactly 0).  Runs
+    that must be bitwise-reproducible across resumes must keep
+    AUXPM_ESS_SWEEP fixed; the particle-sharded path never uses the sweep
+    (collectives cannot live inside the kernel), so bitwise TP-invariance
+    is stated loop-path-vs-loop-path (tests/test_distributed.py)."""
 
     draw_v = make_u_normal(target, particle_axis)
+
+    # AUXPM_ESS_SWEEP=0 disables the fused whole-sweep path (A/B benching
+    # and emergency fallback); read at build time like the other env knobs.
+    sweep = None
+    if (
+        particle_axis is None
+        and target.ess_sweep_factory is not None
+        and os.environ.get("AUXPM_ESS_SWEEP", "1") != "0"
+    ):
+        sweep = target.ess_sweep_factory(n_repeats)
+
+    if sweep is not None:
+        from auxpm_tpu.ops.ess_sweep import MAX_SHRINK
+
+        def step(state: ChainState, params: dict):
+            prepared = target.prepare(state.theta)
+            dt = state.u.dtype
+            key = state.key
+            vs, rows = [], []
+            for r in range(n_repeats):
+                # IDENTICAL split order to one_update below.
+                key, k_v, k_h, k_loop = jax.random.split(key, 4)
+                vs.append(draw_v(k_v, state.u))
+                log_h = jnp.log(jax.random.uniform(k_h, (), dt))
+                a0 = jax.random.uniform(k_loop, (), dt) * _TWO_PI
+                shr = jax.vmap(
+                    lambda i, k=k_loop: jax.random.uniform(
+                        jax.random.fold_in(k, i + 1), (), dt)
+                )(jnp.arange(MAX_SHRINK))
+                ll0 = (state.log_lik_hat.astype(jnp.float32)
+                       if r == 0 else jnp.float32(0.0))
+                rows.append(jnp.concatenate([jnp.stack([ll0, log_h, a0]), shr]))
+            scal = jnp.stack(rows).astype(jnp.float32)  # (R, 3 + MAX_SHRINK)
+            v = jnp.stack(vs)  # (R, S, n)
+            u, ll, n_shrink_total, moved_total = sweep(
+                prepared, state.u, scal, v)
+            new_state = state.replace(u=u, log_lik_hat=ll, key=key)
+            info = {
+                "n_shrink": n_shrink_total / n_repeats,
+                "moved": moved_total / n_repeats,
+            }
+            return new_state, info
+
+        step.uses_sweep = True
+        return step
 
     def one_update(prepared, est_rot_p, theta, u, log_lik, key):
         """One ESS update of u given the amortised ``prepared``."""
@@ -132,4 +199,5 @@ def make_ess_u(target, particle_axis=None, n_repeats=1):
         }
         return new_state, info
 
+    step.uses_sweep = False
     return step

@@ -133,6 +133,9 @@ def make_smc_sharded(
     rejuv_batch=256,
     time_stages=False,
     rejuv_dispatches=1,
+    checkpoint_dir=None,
+    checkpoint_every=1,
+    u_blocks=1,
 ):
     """Sharded analogue of ``smc.make_smc``; same semantics, same PRNG
     discipline per particle, population sharded over the mesh.
@@ -151,6 +154,29 @@ def make_smc_sharded(
         rejuvenation into this many separate device dispatches over
         contiguous local particle groups (dispatch-wall-time bound; results
         bitwise-equal to 1).  1 = whole stage in one dispatch (default).
+      u_blocks: carry_u=False only — store one generating key per
+        contiguous u ROW-BLOCK (S/u_blocks importance samples each) and
+        refresh blocks independently: a systematic-scan independence-MH
+        within Gibbs over blocks, each update targeting
+        pi_beta(u_b | theta, u_-b) exactly.  Replacing 1/u_blocks of the
+        samples perturbs log L̂ far less than a full redraw, so the IMH
+        log-accept beta*(ll' - ll) stays O(1) where the whole-u refresh
+        (u_blocks=1, the default — bitwise-unchanged legacy path) freezes
+        at large n (VERDICT r3 weak #2: measured 0.55 accept at n=32 ->
+        0.11 at n=128 at beta=1).  Per-proposal cost is one BLOCK's
+        whiten+loglik (cached per-sample log-weights are stitched and
+        re-reduced through the target's canonical blocked tree), so a full
+        sweep over all blocks costs ~one full-u refresh.  Requires
+        ``target.log_weights_u`` and S % u_blocks == 0.
+      checkpoint_dir: per-STAGE checkpoint/resume (SURVEY.md §5 failure
+        recovery applied to the SMC path — a pod-scale config-5 run is
+        hours, VERDICT r3 weak #7).  After every ``checkpoint_every``-th
+        completed stage the sharded population plus the loop carries
+        (beta, log Z, stage index) are saved via utils/checkpoint; a
+        subsequent ``run`` with the SAME key and config resumes from the
+        last stage and — because each stage's randomness is
+        ``fold_in(k_loop, s)`` — reproduces the uninterrupted run
+        BIT-FOR-BIT (tested: tests/test_smc.py).
     """
     n_shards = mesh.shape[_AXIS] * mesh.shape.get("particles", 1)
     if mesh.shape.get("particles", 1) != 1:
@@ -228,10 +254,35 @@ def make_smc_sharded(
     # ------------------------------------------------------------------
     u_dtype = jnp.result_type(float)
 
+    if u_blocks > 1:
+        if carry_u:
+            raise ValueError("u_blocks > 1 requires carry_u=False")
+        if target.log_weights_u is None:
+            raise ValueError(
+                "u_blocks > 1 needs target.log_weights_u (per-sample "
+                "log-weights) for the blocked refresh"
+            )
+        if target.u_shape[0] % u_blocks:
+            raise ValueError(
+                f"S={target.u_shape[0]} not divisible by u_blocks={u_blocks}"
+            )
+    _bs = target.u_shape[0] // u_blocks
+    _block_shape = (_bs,) + tuple(target.u_shape[1:])
+
     def _materialize_u(u_key_data):
-        return jax.random.normal(
-            jax.random.wrap_key_data(u_key_data), target.u_shape, u_dtype
-        )
+        """u from its generating key(s).  u_blocks == 1: one key, one draw
+        (legacy layout, key data shape (2,)).  u_blocks > 1: key data is
+        (u_blocks, 2); row-block b = normal(key_b, (S/u_blocks, ...))."""
+        if u_blocks == 1:
+            return jax.random.normal(
+                jax.random.wrap_key_data(u_key_data), target.u_shape, u_dtype
+            )
+        blocks = jax.vmap(
+            lambda kd: jax.random.normal(
+                jax.random.wrap_key_data(kd), _block_shape, u_dtype
+            )
+        )(u_key_data)
+        return blocks.reshape(target.u_shape)
 
     def _ll_of(theta, u):
         return target.log_lik_est(theta, u)
@@ -253,21 +304,92 @@ def make_smc_sharded(
             else:
                 est = lambda u: _ll_of(theta, u)  # noqa: E731
 
-            def imh_body(carry, j):
-                u_kd, ll_cur = carry
-                kj = jax.random.fold_in(k_imh, j)
-                k_prop, k_acc = jax.random.split(kj)
-                u_prop = jax.random.normal(k_prop, target.u_shape, u_dtype)
-                ll_prop = est(u_prop)
-                log_a = beta_new * (ll_prop - ll_cur)
-                acc = jnp.log(jax.random.uniform(k_acc, (), ll_cur.dtype)) < log_a
-                u_kd = jnp.where(acc, jax.random.key_data(k_prop), u_kd)
-                ll_cur = jnp.where(acc, ll_prop, ll_cur)
-                return (u_kd, ll_cur), acc
+            if u_blocks > 1:
+                # Blocked refresh: systematic-scan IMH-within-Gibbs over
+                # the u row-blocks.  Each update targets
+                # pi_beta(u_b | theta, u_-b) ∝ N(u_b) L̂(theta, u)^beta
+                # exactly (fresh-prior proposal, accept beta*(ll'-ll)), so
+                # the composition leaves pi_beta invariant.  Per-sample
+                # log-weights are cached; a proposal recomputes ONE block's
+                # weights and re-reduces the stitched (S,) column through
+                # the target's canonical tree — the same estimator value
+                # definition as log_lik_est_u.
+                from auxpm_tpu.ops.logsumexp import blocked_logsumexp
 
-            (u_key_data, ll), accs = jax.lax.scan(
-                imh_body, (u_key_data, ll), jnp.arange(n_u_mh)
-            )
+                if target.prepare is not None:
+                    lw_arg = prepared
+                else:
+                    lw_arg = theta
+                log_s = jnp.log(jnp.asarray(float(target.u_shape[0]), u_dtype))
+
+                def lw_block(kd):
+                    u_b = jax.random.normal(
+                        jax.random.wrap_key_data(kd), _block_shape, u_dtype
+                    )
+                    return target.log_weights_u(lw_arg, u_b)  # (S/u_blocks,)
+
+                def reduce_lw(lw):
+                    return (
+                        blocked_logsumexp(
+                            lw.reshape(-1), target.n_weight_blocks
+                        )
+                        - log_s
+                    )
+
+                lw0 = jax.vmap(lw_block)(u_key_data)  # (u_blocks, bs)
+                ll = reduce_lw(lw0)
+
+                def imh_body(carry, idx):
+                    u_kd, lw, ll_cur = carry
+                    b = idx % u_blocks
+                    kj = jax.random.fold_in(k_imh, idx)
+                    k_prop, k_acc = jax.random.split(kj)
+                    kd_prop = jax.random.key_data(k_prop)
+                    lw_new = jax.lax.dynamic_update_index_in_dim(
+                        lw, lw_block(kd_prop), b, 0
+                    )
+                    ll_new = reduce_lw(lw_new)
+                    log_a = beta_new * (ll_new - ll_cur)
+                    acc = (
+                        jnp.log(jax.random.uniform(k_acc, (), ll_cur.dtype))
+                        < log_a
+                    )
+                    u_kd = jnp.where(
+                        acc,
+                        jax.lax.dynamic_update_index_in_dim(
+                            u_kd, kd_prop, b, 0
+                        ),
+                        u_kd,
+                    )
+                    lw = jnp.where(acc, lw_new, lw)
+                    ll_cur = jnp.where(acc, ll_new, ll_cur)
+                    return (u_kd, lw, ll_cur), acc
+
+                (u_key_data, _, ll), accs = jax.lax.scan(
+                    imh_body,
+                    (u_key_data, lw0, ll),
+                    jnp.arange(n_u_mh * u_blocks),
+                )
+            else:
+
+                def imh_body(carry, j):
+                    u_kd, ll_cur = carry
+                    kj = jax.random.fold_in(k_imh, j)
+                    k_prop, k_acc = jax.random.split(kj)
+                    u_prop = jax.random.normal(k_prop, target.u_shape, u_dtype)
+                    ll_prop = est(u_prop)
+                    log_a = beta_new * (ll_prop - ll_cur)
+                    acc = (
+                        jnp.log(jax.random.uniform(k_acc, (), ll_cur.dtype))
+                        < log_a
+                    )
+                    u_kd = jnp.where(acc, jax.random.key_data(k_prop), u_kd)
+                    ll_cur = jnp.where(acc, ll_prop, ll_cur)
+                    return (u_kd, ll_cur), acc
+
+                (u_key_data, ll), accs = jax.lax.scan(
+                    imh_body, (u_key_data, ll), jnp.arange(n_u_mh)
+                )
 
             # --- theta-rejuvenation with u held FIXED (theta-only kernel)
             s = ChainState(
@@ -433,6 +555,24 @@ def make_smc_sharded(
             is_leaf=lambda x: isinstance(x, P),
         )
 
+    def _init_one_light(key):
+        """Per-particle light init: a pure function of (key, global slot)."""
+
+        def one(g):
+            k = jax.random.fold_in(key, g)
+            k_t, k_u, k_carry = jax.random.split(k, 3)
+            theta = target.sample_prior(k_t)
+            if u_blocks == 1:
+                u_kd = jax.random.key_data(k_u)
+            else:
+                u_kd = jax.vmap(
+                    lambda b: jax.random.key_data(jax.random.fold_in(k_u, b))
+                )(jnp.arange(u_blocks))
+            ll = _ll_of(theta, _materialize_u(u_kd))
+            return theta, ll, u_kd, k_carry
+
+        return one
+
     def _init_prior_light(key):
         """Sharded, chunked init: never materialises more than one chunk of
         u per device.  Each particle's state is a pure function of (key,
@@ -441,14 +581,7 @@ def make_smc_sharded(
             raise ValueError(f"SMC needs target.sample_prior ({target.name})")
 
         chunk = _chunk_size(n_local, rejuv_batch)
-
-        def one(g):
-            k = jax.random.fold_in(key, g)
-            k_t, k_u, k_carry = jax.random.split(k, 3)
-            theta = target.sample_prior(k_t)
-            u_kd = jax.random.key_data(k_u)
-            ll = _ll_of(theta, _materialize_u(u_kd))
-            return theta, ll, u_kd, k_carry
+        one = _init_one_light(key)
 
         def local():
             shard = jax.lax.axis_index(_AXIS)
@@ -460,14 +593,83 @@ def make_smc_sharded(
             local, mesh=mesh, in_specs=(), out_specs=spec, check_vma=False
         )()
 
+    # Split-dispatch init (carry_u=False): the prior init pays one
+    # log_lik_est per particle — at full-n GP scale a single init dispatch
+    # exceeds backend dispatch-wall bounds just like a rejuvenation stage
+    # does (measured: it killed the tunneled device at 8k particles,
+    # n=640), so it splits over the same contiguous groups.  Per-particle
+    # init is a pure function of (key, global slot), so the result is
+    # bitwise-equal to the single-dispatch init.
+    def _init_prior_light_split(key):
+        if target.sample_prior is None:
+            raise ValueError(f"SMC needs target.sample_prior ({target.name})")
+
+        chunk = _chunk_size(g_size, rejuv_batch)
+        one = _init_one_light(key)
+
+        @jax.jit
+        def init_group(states, j):
+            def local(s, j):
+                shard = jax.lax.axis_index(_AXIS)
+                off = j * g_size
+                g = shard * n_local + off + jnp.arange(g_size)
+                theta, ll, ukd, keys = _chunked_map(one, (g,), g_size, chunk)
+
+                def upd(x, vals):
+                    return jax.lax.dynamic_update_slice_in_dim(x, vals, off, 0)
+
+                kd = jax.random.key_data(s.key)
+                return ChainState(
+                    theta=upd(s.theta, theta),
+                    u=upd(s.u, ukd),
+                    log_lik_hat=upd(s.log_lik_hat, ll),
+                    key=jax.random.wrap_key_data(
+                        upd(kd, jax.random.key_data(keys))
+                    ),
+                )
+
+            return shard_map(
+                local, mesh=mesh, in_specs=(spec, P()), out_specs=spec,
+                check_vma=False,
+            )(states, j)
+
+        @jax.jit
+        def init_zero():
+            def local():
+                kd_shape = (n_local, 2) if u_blocks == 1 else (
+                    n_local, u_blocks, 2
+                )
+                return ChainState(
+                    theta=jnp.zeros((n_local, target.d), u_dtype),
+                    u=jnp.zeros(kd_shape, jnp.uint32),
+                    log_lik_hat=jnp.zeros((n_local,), u_dtype),
+                    key=jax.random.split(jax.random.key(0), n_local),
+                )
+
+            return shard_map(
+                local, mesh=mesh, in_specs=(), out_specs=spec,
+                check_vma=False,
+            )()
+
+        states = init_zero()
+        for j in range(n_groups):
+            states = init_group(states, jnp.int32(j))
+        return states
+
     init_prior = _init_prior_light if not carry_u else _init_prior
 
-    def run(key):
+    def run(key, stop_after=None):
+        """``stop_after``: end the loop after that many completed stages
+        (fault-injection hook for the checkpoint tests — a killed run is a
+        run that stopped after its last checkpointed stage)."""
         import time as _time
 
         k_init, k_loop = jax.random.split(key)
         t0 = _time.time()
-        states = jax.jit(init_prior)(k_init)
+        if (not carry_u) and n_groups > 1:
+            states = _init_prior_light_split(k_init)
+        else:
+            states = jax.jit(init_prior)(k_init)
         if time_stages:
             from auxpm_tpu.utils.profiling import device_sync
 
@@ -476,7 +678,57 @@ def make_smc_sharded(
         beta = jnp.asarray(0.0, states.theta.dtype)
         split = (not carry_u) and n_groups > 1
         log_z, betas, u_accs, walls = 0.0, [0.0], [], []
-        for s in range(max_stages):
+        start_stage = 0
+        ckpt_config = None
+        if checkpoint_dir is not None:
+            import os as _os
+
+            from auxpm_tpu.utils.checkpoint import (
+                load_checkpoint,
+                save_checkpoint,
+            )
+
+            # the config hash binds the checkpoint to the run definition —
+            # including the run key: a resume with a different key would
+            # silently continue a DIFFERENT random trajectory.
+            ckpt_config = {
+                "smc": target.name,
+                "n_particles": n_particles,
+                "carry_u": carry_u,
+                "n_u_mh": n_u_mh,
+                "ess_frac": ess_frac,
+                "n_mcmc": n_mcmc,
+                "key": np.asarray(jax.random.key_data(key)).tolist(),
+            }
+            shard_file = _os.path.join(
+                checkpoint_dir, f"shard_{jax.process_index()}.npz"
+            )
+            if _os.path.exists(shard_file):
+                states, start_stage, meta = load_checkpoint(
+                    checkpoint_dir, states, config=ckpt_config
+                )
+                beta = jnp.asarray(meta["beta"], states.theta.dtype)
+                log_z = float(meta["log_z"])
+                betas = [float(b) for b in meta["betas"]]
+                u_accs = [float(a) for a in meta["u_accs"]]
+
+        def _save(s_done):
+            save_checkpoint(
+                checkpoint_dir,
+                states,
+                step=s_done,
+                config=ckpt_config,
+                params={
+                    "beta": float(beta),
+                    "log_z": log_z,
+                    "betas": betas,
+                    "u_accs": u_accs,
+                },
+            )
+
+        for s in range(start_stage, max_stages):
+            if betas[-1] >= 1.0:
+                break
             t0 = _time.time()
             if split:
                 states, beta, log_z_inc, std = stage_head(
@@ -501,7 +753,14 @@ def make_smc_sharded(
 
                 device_sync(states.theta)
                 walls.append(round(_time.time() - t0, 3))
-            if betas[-1] >= 1.0:
+            done = betas[-1] >= 1.0
+            if checkpoint_dir is not None and (
+                done or (s + 1) % checkpoint_every == 0
+            ):
+                _save(s + 1)
+            if done:
+                break
+            if stop_after is not None and (s + 1) >= stop_after:
                 break
         diag = {"log_z": log_z, "betas": betas, "n_stages": len(betas) - 1}
         if not carry_u:

@@ -48,7 +48,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--target", choices=("toy", "gp"), default="toy")
     p.add_argument("--particles", type=int, default=2**20)
-    p.add_argument("--subsample", type=int, default=128, help="GP dataset size")
+    p.add_argument("--subsample", type=int, default=128,
+                   help="GP dataset size; 0 = FULL dataset (config-5 full-n)")
     p.add_argument("--no-pad", action="store_true",
                    help="GP: pad_to_tiles=False (small-n runs; keeps the "
                         "per-stage dispatch inside the tunneled device's "
@@ -58,6 +59,10 @@ def main(argv=None):
                    choices=("aux_nuts", "aux_hmc", "aux_slice", "aux_mh"))
     p.add_argument("--n-mcmc", type=int, default=1)
     p.add_argument("--n-u-mh", type=int, default=2)
+    p.add_argument("--u-blocks", type=int, default=1,
+                   help="blocked u-refresh: one generating key per u "
+                        "row-block, IMH-within-Gibbs per block (keeps the "
+                        "refresh alive at large n; smc_sharded docstring)")
     p.add_argument("--rejuv-batch", type=int, default=4096)
     p.add_argument("--rejuv-dispatches", type=int, default=1,
                    help="split each stage's rejuvenation into K dispatches "
@@ -65,6 +70,8 @@ def main(argv=None):
     p.add_argument("--ess-frac", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="JSON artifact path")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="per-stage checkpoint/resume directory")
     args = p.parse_args(argv)
 
     from auxpm_tpu.parallel.mesh import make_mesh
@@ -92,7 +99,7 @@ def main(argv=None):
         from auxpm_tpu.models.datasets import load
         from auxpm_tpu.models.gp_classification import make_gp_classification
 
-        x, y = load("pima", subsample=args.subsample, seed=args.seed)
+        x, y = load("pima", subsample=args.subsample or None, seed=args.seed)
         target = make_gp_classification(
             x, y, n_importance=args.n_importance,
             pad_to_tiles=not args.no_pad,
@@ -109,6 +116,7 @@ def main(argv=None):
         n_mcmc=args.n_mcmc, ess_frac=args.ess_frac,
         carry_u=False, n_u_mh=args.n_u_mh, rejuv_batch=args.rejuv_batch,
         time_stages=True, rejuv_dispatches=args.rejuv_dispatches,
+        u_blocks=args.u_blocks, checkpoint_dir=args.checkpoint_dir,
     )
 
     t0 = time.time()
@@ -124,6 +132,7 @@ def main(argv=None):
         "particles": args.particles,
         "devices": len(jax.devices()),
         "rejuvenation": f"{kind} (theta-only, carry_u=False)",
+        "u_blocks": args.u_blocks,
         "n_stages": diag["n_stages"],
         "wall_total": round(wall, 2),
         "init_wall": diag["init_wall"],

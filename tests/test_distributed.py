@@ -210,7 +210,16 @@ def test_particle_shard_invariance_bitwise():
         "slice_theta": {"widths": jnp.full((target.d,), 1.0, jnp.float32)},
     }
 
-    step_ref = make_aux_slice(target)
+    # Like-for-like comparison: the particle-sharded path cannot use the
+    # whole-sweep ESS kernel (collectives can't live inside it), so the
+    # unsharded reference runs the same per-probe path.  The sweep path is
+    # the same chain LAW but — like whiten_dtype — a different float
+    # trajectory (XLA lowers cos/sin differently across fusion contexts,
+    # measured 1-ulp u differences on CPU), so it is part of the
+    # trajectory definition, not interchangeable bitwise (ess_u.py note).
+    import dataclasses as _dc
+
+    step_ref = make_aux_slice(_dc.replace(target, ess_sweep_factory=None))
     _, recs_ref, _ = run_chains(step_ref, states, params, 12)
 
     sh_target, _ = shard_target_particles(target, "particles")

@@ -1,0 +1,150 @@
+"""Whole-ESS-sweep fused kernel (ops/ess_sweep.py) — CPU-side contracts.
+
+The kernel moves the entire elliptical-slice bracket-shrink loop (all
+``n_repeats`` updates of u | theta) into ONE dispatch with the Cholesky
+factor resident in VMEM (round-3 VERDICT item 1).  What must hold
+everywhere, TPU or not:
+
+- the jnp reference sweep reproduces the per-probe loop path in
+  samplers/ess_u.py at the same PRNG keys: identical probe/shrink/accept
+  decisions, states equal to ~1 ulp (the randomness is precomputed with
+  the identical key discipline, so the sampled chain LAW is unchanged by
+  construction; exact bitwise identity across the two code paths is not
+  guaranteed on CPU because XLA lowers cos/sin differently per fusion
+  context — on TPU the measured one-step difference is exactly 0,
+  scripts/ess_sweep_bench.py),
+- the Pallas kernel (interpret mode on CPU) equals the jnp reference sweep,
+- multi-repeat sweeps thread the carried log-lik across repeats exactly
+  like sequential single updates,
+- AUXPM_ESS_SWEEP=0 falls back to the per-probe path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auxpm_tpu.core.state import init_chain_states
+from auxpm_tpu.models.datasets import load
+from auxpm_tpu.models.gp_classification import make_gp_classification
+from auxpm_tpu.samplers.ess_u import make_ess_u
+
+
+def _target(**kw):
+    x, y = load("pima", subsample=64)
+    return make_gp_classification(x, y, n_importance=8, pad_to_tiles=True,
+                                  **kw)
+
+
+@pytest.mark.parametrize("n_repeats", [1, 3])
+def test_sweep_path_equals_loop_path(n_repeats):
+    t = _target()
+    assert t.ess_sweep_factory is not None
+    t_loop = dataclasses.replace(t, ess_sweep_factory=None)
+    states = init_chain_states(jax.random.key(7), t, 6, jitter_scale=0.3)
+
+    step_sweep = make_ess_u(t, n_repeats=n_repeats)
+    step_loop = make_ess_u(t_loop, n_repeats=n_repeats)
+    assert step_sweep.uses_sweep and not step_loop.uses_sweep
+
+    s1, i1 = jax.vmap(lambda s: step_sweep(s, {}))(states)
+    s2, i2 = jax.vmap(lambda s: step_loop(s, {}))(states)
+    # ~1-ulp tolerance: same values, different cos/sin lowering contexts
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.log_lik_hat), np.asarray(s2.log_lik_hat),
+        rtol=3e-7, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(s1.key)), np.asarray(jax.random.key_data(s2.key)))
+    np.testing.assert_array_equal(
+        np.asarray(i1["n_shrink"]), np.asarray(i2["n_shrink"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(i1["moved"]), np.asarray(i2["moved"])
+    )
+    # the update must actually move u for at least some chains
+    assert float(jnp.sum(i1["moved"])) > 0
+
+
+def test_kill_switch_disables_sweep(monkeypatch):
+    t = _target()
+    monkeypatch.setenv("AUXPM_ESS_SWEEP", "0")
+    step = make_ess_u(t)
+    assert not step.uses_sweep
+    monkeypatch.setenv("AUXPM_ESS_SWEEP", "1")
+    assert make_ess_u(t).uses_sweep
+
+
+def test_multi_repeat_sweep_threads_log_lik():
+    """R repeats in one sweep == R sequential single-repeat sweeps with the
+    matching key schedule.  Sequential single sweeps re-split the carried
+    key per call exactly like one_update does per repeat, so driving the
+    single-repeat step R times must reproduce the R-repeat sweep."""
+    t = _target()
+    states = init_chain_states(jax.random.key(11), t, 4, jitter_scale=0.3)
+    R = 3
+
+    s_multi, _ = jax.vmap(lambda s: make_ess_u(t, n_repeats=R)(s, {}))(states)
+
+    step1 = make_ess_u(t, n_repeats=1)
+    s_seq = states
+    for _ in range(R):
+        s_seq, _ = jax.vmap(lambda s: step1(s, {}))(s_seq)
+    np.testing.assert_array_equal(np.asarray(s_multi.u), np.asarray(s_seq.u))
+    np.testing.assert_array_equal(
+        np.asarray(s_multi.log_lik_hat), np.asarray(s_seq.log_lik_hat)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(s_multi.key)),
+        np.asarray(jax.random.key_data(s_seq.key))
+    )
+
+
+def _sweep_inputs(seed, s, n, n_repeats, likelihood="logistic"):
+    from auxpm_tpu.ops.ess_sweep import MAX_SHRINK
+    from auxpm_tpu.ops.fused_estimator import _ref_estimate
+
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.standard_normal((s, n)), jnp.float32)
+    chol = jnp.asarray(
+        np.tril(rng.standard_normal((n, n)) * 0.05) + np.eye(n), jnp.float32
+    )
+    y = jnp.asarray(rng.choice([-1.0, 1.0], n), jnp.float32)
+    mask = jnp.ones((n,), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n_repeats, s, n)), jnp.float32)
+    ll0 = _ref_estimate(chol, u, y, mask, likelihood, n_blocks=8)
+    rows = []
+    for r in range(n_repeats):
+        log_h = np.log(rng.uniform())
+        a0 = rng.uniform() * 2.0 * np.pi
+        shr = rng.uniform(size=MAX_SHRINK)
+        rows.append(np.concatenate([[float(ll0) if r == 0 else 0.0, log_h,
+                                     a0], shr]))
+    scal = jnp.asarray(np.stack(rows), jnp.float32)
+    return chol, u, scal, v, y, mask
+
+
+@pytest.mark.parametrize("likelihood", ["logistic", "probit"])
+def test_pallas_sweep_interpret_matches_ref(likelihood):
+    """Pallas whole-sweep kernel (interpret mode) == jnp reference sweep:
+    same final u, same log-lik, same probe counts."""
+    from auxpm_tpu.ops.ess_sweep import make_fused_ess_sweep
+
+    s, n, R = 16, 256, 2
+    chol, u, scal, v, y, mask = _sweep_inputs(13, s, n, R, likelihood)
+
+    ref = make_fused_ess_sweep(y, mask, likelihood, force=False, n_blocks=8,
+                               n_repeats=R)
+    pallas = make_fused_ess_sweep(y, mask, likelihood, force=True, n_blocks=8,
+                                  n_repeats=R, interpret=True)
+
+    u_r, ll_r, ns_r, mv_r = ref(chol, u, scal, v)
+    u_p, ll_p, ns_p, mv_p = pallas(chol, u, scal, v)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_r),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(ll_p), float(ll_r), rtol=0, atol=1e-4)
+    assert float(ns_p) == float(ns_r)
+    assert float(mv_p) == float(mv_r)

@@ -49,19 +49,40 @@ def test_fused_fallback_equals_unfused():
 
 
 def test_ess_update_identical_with_and_without_rot_hook():
+    """The ESS update must produce IDENTICAL chains across all three
+    estimator-call shapes: the fused whole-sweep path (ess_sweep_factory —
+    default), the per-probe rotated hook, and the plain rotate-then-estimate
+    path (same PRNG keys, same bracket sequence — only the fusion differs)."""
     t = _target()
-    t_plain = dataclasses.replace(t, log_lik_est_rot=None)
+    t_rot = dataclasses.replace(t, ess_sweep_factory=None)
+    t_plain = dataclasses.replace(
+        t, ess_sweep_factory=None, log_lik_est_rot=None
+    )
     states = init_chain_states(jax.random.key(2), t, 4, jitter_scale=0.2)
 
-    s1, i1 = jax.vmap(lambda s: make_ess_u(t)(s, {}))(states)
-    s2, i2 = jax.vmap(lambda s: make_ess_u(t_plain)(s, {}))(states)
-    np.testing.assert_array_equal(np.asarray(s1.u), np.asarray(s2.u))
-    np.testing.assert_allclose(
-        np.asarray(s1.log_lik_hat), np.asarray(s2.log_lik_hat), rtol=1e-6
-    )
-    np.testing.assert_array_equal(
-        np.asarray(i1["n_shrink"]), np.asarray(i2["n_shrink"])
-    )
+    step_sweep = make_ess_u(t)
+    step_rot = make_ess_u(t_rot)
+    assert step_sweep.uses_sweep and not step_rot.uses_sweep
+    s1, i1 = jax.vmap(lambda s: step_sweep(s, {}))(states)
+    s2, i2 = jax.vmap(lambda s: step_rot(s, {}))(states)
+    s3, i3 = jax.vmap(lambda s: make_ess_u(t_plain)(s, {}))(states)
+    # the two per-probe variants are the SAME code path modulo fusion of
+    # the rotation into the estimator: bitwise
+    np.testing.assert_array_equal(np.asarray(s2.u), np.asarray(s3.u))
+    for sb, ib in ((s2, i2), (s3, i3)):
+        # sweep vs per-probe: ~1-ulp tolerance (cos/sin lowering contexts)
+        np.testing.assert_allclose(np.asarray(s1.u), np.asarray(sb.u),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(s1.log_lik_hat), np.asarray(sb.log_lik_hat), rtol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(jax.random.key_data(s1.key)), np.asarray(jax.random.key_data(sb.key)))
+        np.testing.assert_array_equal(
+            np.asarray(i1["n_shrink"]), np.asarray(ib["n_shrink"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i1["moved"]), np.asarray(ib["moved"])
+        )
 
 
 def test_gradients_flow_through_estimator():

@@ -265,6 +265,8 @@ def _run_smc(cfg, target, metrics, key):
             carry_u=cfg.smc_carry_u, n_u_mh=cfg.smc_n_u_mh,
             rejuv_batch=cfg.smc_rejuv_batch,
             rejuv_dispatches=cfg.smc_rejuv_dispatches,
+            u_blocks=cfg.smc_u_blocks,
+            checkpoint_dir=cfg.smc_checkpoint_dir or None,
         )
     else:
         run = make_smc(

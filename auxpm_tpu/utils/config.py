@@ -63,6 +63,8 @@ class RunConfig:
     smc_n_u_mh: int = 2
     smc_rejuv_batch: int = 256
     smc_rejuv_dispatches: int = 1  # split stage rejuvenation into K dispatches
+    smc_u_blocks: int = 1  # blocked u-refresh: keys per u row-block (carry_u=False)
+    smc_checkpoint_dir: str = ""  # per-stage checkpoint/resume directory
     # parallel
     sharded: bool = False
     particle_shards: int = 1

@@ -65,6 +65,7 @@ def main(argv=None):
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--real-devices", action="store_true",
                    help="use whatever jax.devices() gives (e.g. a pod slice)")
+    p.add_argument("--out", default=None, help="JSON artifact path")
     args = p.parse_args(argv)
 
     if args.multihost:
@@ -118,17 +119,20 @@ def main(argv=None):
         f"efficiency {eff:.3f}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "chain_scaling_efficiency",
-                "value": round(eff, 3),
-                "unit": "ratio",
-                "n_devices": n_dev,
-                "vs_baseline": round(eff / 0.8, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "chain_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_devices": n_dev,
+        "platform": jax.devices()[0].platform,
+        "tput_1dev": round(tput1, 1),
+        "tput_ndev": round(tputN, 1),
+        "vs_baseline": round(eff / 0.8, 2),
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     return 0
 
 

@@ -73,7 +73,10 @@ PROPOSAL = os.environ.get("BENCH_PROPOSAL", "prior")
 S = int(os.environ.get("BENCH_S", 64))
 N_ESS = int(os.environ.get("BENCH_N_ESS", 4))
 WHITEN = os.environ.get("BENCH_WHITEN", "float32")  # float32 | bfloat16
-SIGMA_EXTRA = int(os.environ.get("BENCH_SIGMA_EXTRA", 0))
+# 1 measured optimal (r4 sweep, BASELINE.md): the Cholesky-free extra
+# log_sigma slice update buys ~+9% ESS/s at 0->1; 2 and 4 give it back
+# (2.75 / 3.00 / 2.80 / 2.40 at 0/1/2/4, single-seed, 2026-08-20)
+SIGMA_EXTRA = int(os.environ.get("BENCH_SIGMA_EXTRA", 1))
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 SEEDS = int(os.environ.get("BENCH_SEEDS", 3))
 V5E_BF16_PEAK = 197e12  # per-chip bf16 peak; MFU denominator (f32 work

@@ -245,6 +245,16 @@ def make_gp_classification(
             # per sweep with C resident in VMEM across all probes — the
             # VERDICT r3 item-1 lever.  Same estimator expression as the
             # per-probe kernels, so the targeted posterior is unchanged.
+            # VMEM gate: the sweep keeps C (n²) + u, u', f (S×n each) +
+            # the n_repeats direction draws resident; past ~12 MB of the
+            # 16 MB/core VMEM the Mosaic compile fails opaquely, so fall
+            # back to the per-probe loop path (make_ess_u handles None).
+            n_pad = int(mask.shape[-1])
+            resident_bytes = 4 * (
+                n_pad * n_pad + (n_repeats + 3) * n_importance * n_pad
+            )
+            if resident_bytes > 12 * 2**20:
+                return None
             from auxpm_tpu.ops.ess_sweep import make_fused_ess_sweep
 
             return make_fused_ess_sweep(

@@ -148,3 +148,17 @@ def test_pallas_sweep_interpret_matches_ref(likelihood):
     np.testing.assert_allclose(float(ll_p), float(ll_r), rtol=0, atol=1e-4)
     assert float(ns_p) == float(ns_r)
     assert float(mv_p) == float(mv_r)
+
+
+def test_vmem_gate_falls_back_to_loop_path():
+    """The sweep keeps C + (R+3) S-row blocks resident in VMEM; past the
+    ~12 MB budget the factory must return None (Mosaic would otherwise
+    fail opaquely at compile) and make_ess_u must take the loop path."""
+    t = _target()
+    # bench shape n_pad=128, S=8: well under budget -> sweep available
+    assert t.ess_sweep_factory(4) is not None
+    # a repeat count that pushes (R+3)*S*n past 12 MB must gate off
+    r_huge = (12 * 2**20) // (4 * 8 * 128) + 3
+    assert t.ess_sweep_factory(r_huge) is None
+    assert not make_ess_u(t, n_repeats=r_huge).uses_sweep
+    assert make_ess_u(t, n_repeats=4).uses_sweep

@@ -78,27 +78,32 @@ def _ess_sweep_kernel(u_ref, v_ref, scal_ref, c_ref, y_ref, mask_ref,
     stats_ref: (1, 4) SMEM f32 — [ll_final, n_shrink_total, moved_total, 0].
     """
     u_out_ref[:] = u_ref[:]
-    ll = scal_ref[0, 0]
-    n_shrink_tot = jnp.float32(0.0)
-    moved_tot = jnp.float32(0.0)
 
-    for r in range(n_repeats):  # static unroll; v_r indexed statically
+    # fori_loop over repeats with DYNAMIC indexing of v_ref/scal_ref (r5,
+    # VERDICT r4 item 1b): the previous static Python unroll instantiated
+    # the probe body (MXU contraction + likelihood + reduction + shrink
+    # while_loop) n_repeats times, quadrupling the Mosaic program at the
+    # bench n_repeats=4 — ~95% of the bench's cold-start wall was one
+    # compile of this program.  The op sequence per repeat is IDENTICAL to
+    # the unrolled form, so the computed chain is unchanged (parity tests:
+    # tests/test_ess_sweep.py).
+    def probe(a, r):
+        # u/v are re-read from VMEM per probe (cheap; measured
+        # indistinguishable from hoisting the value out of the loop)
+        u_rot = u_out_ref[:] * jnp.cos(a) + v_ref[r] * jnp.sin(a)
+        f = _dot_whiten(u_rot, c_ref[:], whiten_dtype)
+        lw = jnp.sum(
+            _log_lik_tile(f, y_ref[0, :][None, :], mask_ref[0, :][None, :],
+                          likelihood),
+            axis=1, keepdims=True,
+        )
+        return _blocked_lse_lw(lw, n_blocks) - log_s
+
+    def repeat_body(r, carry):
+        ll, n_shrink_tot, moved_tot = carry
         log_y = ll + scal_ref[r, 1]
         a0 = scal_ref[r, 2]
-
-        def probe(a, r=r):
-            # u/v are re-read from VMEM per probe (cheap; measured
-            # indistinguishable from hoisting the value out of the loop)
-            u_rot = u_out_ref[:] * jnp.cos(a) + v_ref[r] * jnp.sin(a)
-            f = _dot_whiten(u_rot, c_ref[:], whiten_dtype)
-            lw = jnp.sum(
-                _log_lik_tile(f, y_ref[0, :][None, :], mask_ref[0, :][None, :],
-                              likelihood),
-                axis=1, keepdims=True,
-            )
-            return _blocked_lse_lw(lw, n_blocks) - log_s
-
-        ll0 = probe(a0)
+        ll0 = probe(a0, r)
 
         def cond(carry):
             i, a, a_min, a_max, ll_p, done = carry
@@ -110,7 +115,7 @@ def _ess_sweep_kernel(u_ref, v_ref, scal_ref, c_ref, y_ref, mask_ref,
             a_max = jnp.where(a < 0, a_max, a)
             un = scal_ref[r, 3 + i]
             a_new = a_min + (a_max - a_min) * un
-            ll_new = probe(a_new)
+            ll_new = probe(a_new, r)
             return (i + 1, a_new, a_min, a_max, ll_new, ll_new > log_y)
 
         init = (jnp.int32(0), a0, a0 - jnp.float32(2.0 * np.pi), a0, ll0,
@@ -122,6 +127,13 @@ def _ess_sweep_kernel(u_ref, v_ref, scal_ref, c_ref, y_ref, mask_ref,
         ll = jnp.where(done, ll_p, ll)
         n_shrink_tot = n_shrink_tot + n_shrink.astype(jnp.float32)
         moved_tot = moved_tot + done.astype(jnp.float32)
+        return ll, n_shrink_tot, moved_tot
+
+    ll, n_shrink_tot, moved_tot = jax.lax.fori_loop(
+        0, n_repeats,
+        repeat_body,
+        (scal_ref[0, 0], jnp.float32(0.0), jnp.float32(0.0)),
+    )
 
     stats_ref[0, 0] = ll
     stats_ref[0, 1] = n_shrink_tot

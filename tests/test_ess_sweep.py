@@ -155,7 +155,9 @@ def test_vmem_gate_falls_back_to_loop_path():
     ~12 MB budget the factory must return None (Mosaic would otherwise
     fail opaquely at compile) and make_ess_u must take the loop path."""
     t = _target()
-    # bench shape n_pad=128, S=8: well under budget -> sweep available
+    # test-target shape n_pad=128, S=8 (NOT the real bench shape — that is
+    # S=64, n=640, where the gate evaluates ~2.8 MB): well under budget ->
+    # sweep available
     assert t.ess_sweep_factory(4) is not None
     # a repeat count that pushes (R+3)*S*n past 12 MB must gate off
     r_huge = (12 * 2**20) // (4 * 8 * 128) + 3

@@ -121,7 +121,28 @@ def make_u_normal(target, particle_axis=None):
     return draw
 
 
-def init_chain_state(key, target, theta0=None, jitter_scale=0.0):
+def refresh_target_cache(target, extras, theta_new):
+    """Rebuild ``extras["target_cache"]`` for a NEW theta (or pass through).
+
+    Safety net for theta-changing kernels that are not cache-aware (MH,
+    NUTS, HMC, joint/rd slice): when a composite mixes them with the
+    cached aux-slice kernels, the carried factor would silently go stale —
+    a correctness bug, since the cached kernels assume
+    ``extras["target_cache"] == target.cache_init(state.theta)``.  Presence
+    of the cache is a STATIC pytree-structure fact, so this costs nothing
+    when the cache is off.
+    """
+    if (
+        target.cache_init is not None
+        and isinstance(extras, dict)
+        and "target_cache" in extras
+    ):
+        return {**extras, "target_cache": target.cache_init(theta_new)}
+    return extras
+
+
+def init_chain_state(key, target, theta0=None, jitter_scale=0.0,
+                     with_cache=False):
     """Initialise one chain: draw ``u ~ N(0, I)``, evaluate the estimator.
 
     Args:
@@ -130,6 +151,10 @@ def init_chain_state(key, target, theta0=None, jitter_scale=0.0):
       theta0: optional initial parameters ``(d,)``; defaults to the target's
         ``theta_init``.  A chain-specific jitter ``N(0, jitter_scale²)`` is
         added so vmapped chains start overdispersed.
+      with_cache: populate ``extras["target_cache"]`` via
+        ``target.cache_init`` (carried-factor fast path; see
+        models/base.py).  Off by default so existing state layouts —
+        checkpoints, SMC particle states — are unchanged.
     """
     k_u, k_t, k_carry = jax.random.split(key, 3)
     if theta0 is None:
@@ -141,12 +166,18 @@ def init_chain_state(key, target, theta0=None, jitter_scale=0.0):
         )
     u0 = jax.random.normal(k_u, target.u_shape, theta0.dtype)
     log_lik0 = target.log_lik_est(theta0, u0)
-    return ChainState(theta=theta0, u=u0, log_lik_hat=log_lik0, key=k_carry)
+    extras = {}
+    if with_cache and target.cache_init is not None:
+        extras = {"target_cache": target.cache_init(theta0)}
+    return ChainState(
+        theta=theta0, u=u0, log_lik_hat=log_lik0, key=k_carry, extras=extras
+    )
 
 
-def init_chain_states(key, target, n_chains, theta0=None, jitter_scale=0.1):
+def init_chain_states(key, target, n_chains, theta0=None, jitter_scale=0.1,
+                      with_cache=False):
     """Vectorised init of ``n_chains`` independent chains (batched pytree)."""
     keys = jax.random.split(key, n_chains)
     return jax.vmap(
-        lambda k: init_chain_state(k, target, theta0, jitter_scale)
+        lambda k: init_chain_state(k, target, theta0, jitter_scale, with_cache)
     )(keys)

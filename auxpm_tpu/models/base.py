@@ -98,6 +98,41 @@ class Target:
     # collective reductions), preserving all structure-aware fast paths.
     # parallel/particle_shard.shard_target_particles delegates to it.
     make_sharded: Optional[Callable] = None
+    # ---- carried-factor cache (r5) --------------------------------------
+    # The aux-slice step at round-4 shapes paid chol(R(log_ell)) THREE times
+    # per iteration for the same log_ell: once in the ESS prepare, once in
+    # the sigma coordinate's factory, and once inside the accepted
+    # ell-coordinate probe.  Targets that can carry the expensive
+    # theta-dependent factor across kernels expose:
+    #   cache_init:   ``theta -> dict``  — build the cache (one factor).
+    #   prepare_c:    ``(theta, cache) -> prepared``  — prepare() without
+    #                 refactorising, DEFINED to be bitwise-equal to
+    #                 prepare(theta) whenever cache == cache_init(theta).
+    #   coord_estimators_c: like ``coord_estimators`` but factories take
+    #                 ``(theta, u, cache)``; the LAST coordinate's factory
+    #                 may read the cache (the GP sigma coordinate probes
+    #                 off the carried factor), and the slice sampler
+    #                 refreshes the cache ONCE per sweep via cache_init at
+    #                 the post-ell theta — outside the shrink loops
+    #                 (threading the factor through loop carries was
+    #                 measured slower than refactorising once,
+    #                 samplers/slice_theta.py note).
+    # The cache lives in ``ChainState.extras["target_cache"]``; samplers
+    # that change theta must refresh it (core/state.refresh_target_cache)
+    # — the cached kernels keep the invariant
+    # ``extras["target_cache"] == cache_init(state.theta)`` at every step
+    # boundary, so enabling the cache changes no sampled value.
+    cache_init: Optional[Callable] = None
+    prepare_c: Optional[Callable] = None
+    coord_estimators_c: Optional[tuple] = None
+    # Optional factory ``n_reps -> fn(theta, u, cache, ll0, lp0, width,
+    # rep) -> (sigma', ll', lp', n_shrink, moved)`` running ALL n_reps
+    # log_sigma slice updates as one fused call with the carried factor
+    # resident (ops/sigma_sweep.py — Pallas on TPU, jnp reference
+    # elsewhere); ``rep`` is (n_reps, 2 + MAX_SHRINK) randomness filled by
+    # the sampler with the _slice_1d key discipline.  Used by
+    # samplers/slice_theta.py's cached path in the shrinkage-only variant.
+    sigma_sweep_factory: Optional[Callable] = None
 
     def log_joint(self, theta, u):
         """Unnormalised joint log density in (theta, u) minus the N(u;0,I)

@@ -225,6 +225,7 @@ def make_gp_classification(
             "(pad_to_tiles=True) with the prior proposal"
         )
     ess_sweep_factory = None
+    sigma_sweep_factory = None
     if use_fused and particle_axis is None:
         from auxpm_tpu.ops.fused_estimator import (
             make_fused_estimator,
@@ -261,6 +262,60 @@ def make_gp_classification(
                 y_dev, mask, likelihood, n_blocks=nb_global,
                 whiten_dtype=whiten_dtype, n_repeats=n_repeats,
             )
+
+        def sigma_sweep_factory(n_reps):
+            # Whole-sigma-slice fused update (ops/sigma_sweep.py, r5): all
+            # 1 + n_sigma_extra log_sigma slice updates in ONE dispatch per
+            # chain with the carried factor C0 resident in VMEM and
+            # per-chain probe counts.  Same estimator expression as the
+            # sigma coordinate factory (exp(x) * C0 scaled BEFORE the
+            # whiten contraction).  VMEM gate mirrors the ESS sweep's:
+            # C0 + the per-probe scaled copy (n² each) + u, f (S×n each).
+            from auxpm_tpu.ops.fused_estimator import _on_tpu
+            from auxpm_tpu.ops.sigma_sweep import make_fused_sigma_sweep
+
+            if not _on_tpu():
+                # off-TPU the loop path is used instead: it is bitwise-
+                # stable against the uncached path (the sweep's prior-term
+                # decomposition differs at ~1 ulp), which the CPU test net
+                # relies on; the jnp reference sweep stays reachable via
+                # make_fused_sigma_sweep(force=False) for kernel parity
+                # tests.
+                return None
+            n_pad = int(mask.shape[-1])
+            resident_bytes = 4 * (
+                2 * n_pad * n_pad + 3 * n_importance * n_pad
+            )
+            if resident_bytes > 12 * 2**20:
+                return None
+
+            sweep = make_fused_sigma_sweep(
+                y_dev, mask, likelihood, n_blocks=nb_global,
+                whiten_dtype=whiten_dtype, n_reps=n_reps,
+            )
+            hiv = 0.5 / float(prior_std) ** 2
+
+            def run(theta, u, cache, ll0, lp0, width, rep):
+                sigma0 = theta[n_theta - 1]
+                d0 = sigma0 - prior_mean
+                # lp(x) = lp_rest - hiv (x - mu)^2 + ll(x) reproduces
+                # log_prior(theta with sigma=x) + ll to ~1 ulp (kernel
+                # docstring trajectory note)
+                lp_rest = log_prior(theta) + hiv * d0 * d0
+                chain = jnp.stack([
+                    jnp.asarray(ll0, jnp.float32),
+                    jnp.asarray(lp0, jnp.float32),
+                    jnp.asarray(sigma0, jnp.float32),
+                    jnp.asarray(width, jnp.float32),
+                    jnp.float32(prior_mean),
+                    jnp.float32(hiv),
+                    jnp.asarray(lp_rest, jnp.float32),
+                    jnp.float32(0.0),
+                ])[None, :]
+                return sweep(cache["chol_r"], u, chain,
+                             rep.astype(jnp.float32))
+
+            return run
     elif use_fused:
         from auxpm_tpu.ops.fused_estimator import (
             make_fused_rot_weights,
@@ -331,6 +386,50 @@ def make_gp_classification(
         + [_sigma_coord_factory]
     )
 
+    # ---- carried chol_r cache (r5 — see models/base.py) -----------------
+    # The factor chol(R(log_ell) + jitter I) is a deterministic function of
+    # log_ell alone (sigma separability).  Carrying it in
+    # ``state.extras["target_cache"]`` — refreshed ONCE per slice sweep at
+    # the post-ell theta, outside every while_loop (threading it through
+    # the shrink carries was measured SLOWER, samplers/slice_theta.py) —
+    # saves the ESS prepare's factorisation every step.  Bitwise-neutral:
+    # every use site evaluates the IDENTICAL expression
+    # exp(log_sigma) * chol_r(log_ell); only where the factor is computed
+    # changes, and chol_r is deterministic in log_ell.
+
+    def cache_init(theta):
+        log_ell, _ = split_theta(theta)
+        return {"chol_r": chol_r(log_ell)}
+
+    def prepare_c(theta, cache):
+        _, log_sigma = split_theta(theta)
+        return jnp.exp(log_sigma) * cache["chol_r"]
+
+    def _full_coord_factory_c(i):
+        base = _full_coord_factory(i)
+
+        def factory(theta, u, cache):
+            del cache  # an ell probe must refactorise at its own candidate
+            return base(theta, u)
+
+        return factory
+
+    def _sigma_coord_factory_c(theta, u, cache):
+        """log_sigma probes off the CARRIED factor — zero Choleskys."""
+        chol0 = cache["chol_r"]
+
+        def f(xi):
+            th = theta.at[n_theta - 1].set(xi)
+            ll = log_lik_est_u(jnp.exp(xi) * chol0, u)
+            return log_prior(th) + ll, ll
+
+        return f, jax.vmap(f)
+
+    coord_estimators_c = tuple(
+        [_full_coord_factory_c(i) for i in range(n_theta - 1)]
+        + [_sigma_coord_factory_c]
+    )
+
     if proposal == "laplace":
         # Approximate-posterior importance proposal (models/laplace.py):
         # q(f) = N(f̂_theta, (K⁻¹+W)⁻¹) fitted by Newton inside prepare().
@@ -367,6 +466,12 @@ def make_gp_classification(
         coord_estimators = None
         log_lik_est_rot = None  # prepared is a tuple; no fused kernel path
         ess_sweep_factory = None
+        sigma_sweep_factory = None
+        # the Laplace prepare() is mode-dependent in BOTH coordinates, so
+        # there is no sigma-separable carried factor
+        cache_init = None
+        prepare_c = None
+        coord_estimators_c = None
     elif proposal != "prior":
         raise ValueError(f"unknown proposal {proposal!r}")
 
@@ -411,4 +516,8 @@ def make_gp_classification(
         + prior_std * jax.random.normal(key, (n_theta,), dtype),
         n_weight_blocks=nb_global,
         make_sharded=None if particle_axis else make_sharded,
+        cache_init=cache_init,
+        prepare_c=prepare_c,
+        coord_estimators_c=coord_estimators_c,
+        sigma_sweep_factory=sigma_sweep_factory,
     )

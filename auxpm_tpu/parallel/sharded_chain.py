@@ -38,9 +38,10 @@ from auxpm_tpu.samplers.chain import _scan_chain
 def state_pspec(shard_particles=False, extras=None):
     """PartitionSpec pytree for a batched ChainState.
 
-    ``extras`` mirrors the state's extras dict (per-chain scalars, e.g. the
-    in-scan dual-averaging fields from samplers/adaptation.py) — every entry
-    shards over 'chains'.
+    ``extras`` mirrors the state's extras dict (per-chain quantities, e.g.
+    the in-scan dual-averaging fields from samplers/adaptation.py or the
+    carried chol_r factor) — every LEAF (extras may nest, e.g.
+    ``extras["target_cache"]["chol_r"]``) shards over 'chains'.
     """
     pu = P("chains", "particles") if shard_particles else P("chains")
     return ChainState(
@@ -48,7 +49,7 @@ def state_pspec(shard_particles=False, extras=None):
         u=pu,
         log_lik_hat=P("chains"),
         key=P("chains"),
-        extras={k: P("chains") for k in (extras or {})},
+        extras=jax.tree.map(lambda _: P("chains"), extras or {}),
     )
 
 

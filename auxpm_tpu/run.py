@@ -84,7 +84,14 @@ def main(argv=None):
         return _run_smc(cfg, target, metrics, key)
 
     params = initial_params(cfg, target)
-    states = init_chain_states(key, target, cfg.chains, jitter_scale=cfg.jitter_scale)
+    # the carried chol_r factor pays off when the composite is cache-aware
+    # (the aux_slice family: ESS prepare + sigma probes reuse it); for
+    # kernels that only REFRESH it (pm_mh/nuts/... safety net) it would add
+    # a factorisation per step, so gate on the sampler family.
+    states = init_chain_states(
+        key, target, cfg.chains, jitter_scale=cfg.jitter_scale,
+        with_cache=cfg.chol_cache and cfg.sampler.startswith("aux_slice"),
+    )
 
     if cfg.sharded:
         from auxpm_tpu.parallel.mesh import make_mesh

@@ -85,11 +85,24 @@ def make_ess_u(target, particle_axis=None, n_repeats=1):
     ):
         sweep = target.ess_sweep_factory(n_repeats)
 
+    def _prepare(state):
+        """prepare() off the carried factor when present (bitwise-equal by
+        the cache contract, models/base.py) — the ESS step then pays ZERO
+        Cholesky: theta is fixed for every probe and repeat."""
+        cache = (
+            state.extras.get("target_cache")
+            if isinstance(state.extras, dict)
+            else None
+        )
+        if cache is not None and target.prepare_c is not None:
+            return target.prepare_c(state.theta, cache)
+        return target.prepare(state.theta)
+
     if sweep is not None:
         from auxpm_tpu.ops.ess_sweep import MAX_SHRINK
 
         def step(state: ChainState, params: dict):
-            prepared = target.prepare(state.theta)
+            prepared = _prepare(state)
             dt = state.u.dtype
             key = state.key
             vs, rows = [], []
@@ -167,7 +180,7 @@ def make_ess_u(target, particle_axis=None, n_repeats=1):
         # theta is fixed for every probe and repeat: amortise the expensive
         # part of the estimator across the whole call.
         if target.prepare is not None:
-            prepared = target.prepare(state.theta)
+            prepared = _prepare(state)
             if target.log_lik_est_rot is not None:
                 est_rot_p = lambda p, th, u, v, a: target.log_lik_est_rot(  # noqa: E731
                     p, u, v, a

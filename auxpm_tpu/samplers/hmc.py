@@ -89,7 +89,14 @@ def make_hmc(target):
         new_log_lik = jnp.where(
             accept, -pe1 - target.log_prior(z1), state.log_lik_hat
         )
-        new_state = state.replace(theta=new_theta, log_lik_hat=new_log_lik, key=key)
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        new_state = state.replace(
+            theta=new_theta,
+            log_lik_hat=new_log_lik,
+            key=key,
+            extras=refresh_target_cache(target, state.extras, new_theta),
+        )
         info = {
             "accept": accept.astype(jnp.float32),
             "accept_prob": jnp.exp(jnp.minimum(jnp.where(diverged, -jnp.inf, delta_h), 0.0)),

@@ -104,11 +104,15 @@ def make_joint_slice(target, particle_axis=None):
             dtype,
         )
         th_new, u_new = path(t_new)
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        theta_out = jnp.where(done, th_new, theta0)
         new_state = state.replace(
-            theta=jnp.where(done, th_new, theta0),
+            theta=theta_out,
             u=jnp.where(done, u_new, u0),
             log_lik_hat=jnp.where(done, ll_new, state.log_lik_hat),
             key=key,
+            extras=refresh_target_cache(target, state.extras, theta_out),
         )
         info = {"n_probe": n_probe, "moved": done.astype(jnp.float32)}
         return new_state, info
@@ -140,11 +144,15 @@ def make_joint_mh(target, particle_axis=None):
         )
         accept = jnp.log(jax.random.uniform(k_acc, (), dtype)) < log_a
 
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        theta_out = jnp.where(accept, theta_p, state.theta)
         new_state = state.replace(
-            theta=jnp.where(accept, theta_p, state.theta),
+            theta=theta_out,
             u=jnp.where(accept, u_p, state.u),
             log_lik_hat=jnp.where(accept, ll_p, state.log_lik_hat),
             key=key,
+            extras=refresh_target_cache(target, state.extras, theta_out),
         )
         info = {"accept": accept.astype(jnp.float32)}
         return new_state, info

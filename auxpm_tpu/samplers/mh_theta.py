@@ -35,10 +35,14 @@ def make_mh_theta(target):
             - state.log_lik_hat
         )
         accept = jnp.log(jax.random.uniform(k_acc, (), state.theta.dtype)) < log_accept
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        theta_new = jnp.where(accept, theta_p, state.theta)
         new_state = state.replace(
-            theta=jnp.where(accept, theta_p, state.theta),
+            theta=theta_new,
             log_lik_hat=jnp.where(accept, log_lik_p, state.log_lik_hat),
             key=key,
+            extras=refresh_target_cache(target, state.extras, theta_new),
         )
         return new_state, {"accept": accept.astype(jnp.float32)}
 

@@ -263,7 +263,14 @@ def make_nuts(target, max_depth=8):
         (depth, turn, div, _, _, _, _, _, _, z_prop, pe_prop, _, sum_met, n_met, _) = out
 
         new_log_lik = -pe_prop - target.log_prior(z_prop)
-        new_state = state.replace(theta=z_prop, log_lik_hat=new_log_lik, key=key)
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        new_state = state.replace(
+            theta=z_prop,
+            log_lik_hat=new_log_lik,
+            key=key,
+            extras=refresh_target_cache(target, state.extras, z_prop),
+        )
         info = {
             "depth": depth.astype(jnp.float32),
             "diverged": div.astype(jnp.float32),

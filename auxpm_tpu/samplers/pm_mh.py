@@ -54,11 +54,15 @@ def make_pm_mh(target, particle_axis=None):
         )
         accept = jnp.log(jax.random.uniform(k_acc, (), state.theta.dtype)) < log_accept
 
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        theta_new = jnp.where(accept, theta_p, state.theta)
         new_state = state.replace(
-            theta=jnp.where(accept, theta_p, state.theta),
+            theta=theta_new,
             u=jnp.where(accept, u_p, state.u),
             log_lik_hat=jnp.where(accept, log_lik_p, state.log_lik_hat),
             key=key,
+            extras=refresh_target_cache(target, state.extras, theta_new),
         )
         info = {
             "accept": accept.astype(jnp.float32),

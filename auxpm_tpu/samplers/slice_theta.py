@@ -55,6 +55,15 @@ def _slice_1d(key, x0, log_fx0, f, f2, w, max_step_out, max_shrink, dtype):
     ``f(x) -> (log_post, log_lik)``; ``f2(xs) -> (log_posts, log_liks)`` is
     the 2-point batched version (step-out probes); log_fx0 = f(x0)[0].
     Returns (x_new, log_post_new, log_lik_new, done, n_probe).
+
+    NOTE (r5 negative result): a variant that threaded the accepted
+    ell-probe's Cholesky factor through the shrink carry was built and
+    MEASURED SLOWER than recomputing the factor once after the sweep
+    (95.7 vs 84.9 ms/step at the bench shape): XLA copies the (n, n)
+    loop-carry every iteration of every subsequent while_loop it passes
+    through (~2 x 1.6 MB x chains x iterations of pure HBM traffic), which
+    exceeds the one n^3/3 factorisation it saves.  The carried-factor cache
+    therefore refreshes OUTSIDE the loops (make_slice_theta cached branch).
     """
     k_h, k_init, k_loop = jax.random.split(key, 3)
     log_y = log_fx0 + jnp.log(jax.random.uniform(k_h, (), dtype))
@@ -102,7 +111,8 @@ def _slice_1d(key, x0, log_fx0, f, f2, w, max_step_out, max_shrink, dtype):
         r = jnp.where(jnp.logical_or(ok, x_new < x0), r, x_new)
         return i + 1, l, r, x_new, lp_new, ll_new, ok
 
-    init = (jnp.int32(0), l, r, x0, log_fx0, jnp.asarray(0.0, dtype), jnp.bool_(False))
+    init = (jnp.int32(0), l, r, x0, log_fx0, jnp.asarray(0.0, dtype),
+            jnp.bool_(False))
     n_sh, _, _, x_new, lp_new, ll_new, done = jax.lax.while_loop(
         sh_cond, sh_body, init
     )
@@ -142,6 +152,21 @@ def make_slice_theta(target, n_sigma_extra=0):
             f"target {getattr(target, 'name', target)!r}"
         )
 
+    # Fused whole-sigma-slice sweep (ops/sigma_sweep.py): all
+    # 1 + n_sigma_extra log_sigma updates in one dispatch with the carried
+    # factor resident and per-chain probe counts.  Taken only on the cached
+    # path with the shrinkage-only variant (static max_step_out == 0);
+    # AUXPM_SIGMA_SWEEP=0 disables (A/B + emergency fallback, mirroring
+    # AUXPM_ESS_SWEEP).
+    import os
+
+    sigma_sweep_fn = None
+    if (
+        target.sigma_sweep_factory is not None
+        and os.environ.get("AUXPM_SIGMA_SWEEP", "1") != "0"
+    ):
+        sigma_sweep_fn = target.sigma_sweep_factory(1 + n_sigma_extra)
+
     def step(state: ChainState, params: dict):
         widths = jnp.broadcast_to(
             jnp.asarray(params.get("widths", 1.0), state.theta.dtype),
@@ -149,6 +174,14 @@ def make_slice_theta(target, n_sigma_extra=0):
         )
         max_step_out = params.get("max_step_out", 8)
         max_shrink = params.get("max_shrink", 32)
+        # separate (smaller) shrink cap for the coordinates whose probes pay
+        # a full factorisation (the GP ell coordinates): under vmap every
+        # chain pays the WORST lane's shrink count, so the expected loop
+        # depth is E[max over chains] (~7 at 128 chains) while the mean
+        # useful count is ~2 — a small cap bounds the worst lane at an
+        # exact no-op cost for the rare capped chain (Neal 2003 cap
+        # semantics; keep current point).  Default = max_shrink (off).
+        max_shrink_chol = params.get("max_shrink_chol", max_shrink)
         dtype = state.theta.dtype
 
         key, *coord_keys = jax.random.split(state.key, target.d + 1)
@@ -158,7 +191,106 @@ def make_slice_theta(target, n_sigma_extra=0):
         log_lik0 = state.log_lik_hat
         log_post0 = target.log_prior(theta0) + log_lik0
 
-        if target.coord_estimators is not None:
+        cache = (
+            state.extras.get("target_cache")
+            if isinstance(state.extras, dict)
+            else None
+        )
+        new_extras = state.extras
+
+        if target.coord_estimators_c is not None and cache is not None:
+            # carried-factor path (models/base.py cache contract): after the
+            # ell coordinate(s), the factor is refreshed ONCE at the updated
+            # theta — outside every while_loop, see the _slice_1d negative-
+            # result note — and then feeds the sigma probes (this step) and
+            # the ESS prepare (next step).  Per step that is p_chol + 1
+            # factorisations instead of the uncached p_chol + 2, with a
+            # bitwise-identical trajectory (chol_r is deterministic and the
+            # use-site expressions are unchanged; tests/test_cache.py).
+            theta, log_post, log_lik = theta0, log_post0, log_lik0
+            n_probe_total = jnp.float32(0.0)
+            n_probe_chol = jnp.float32(0.0)
+            n_coords = len(target.coord_estimators_c)
+            for i, factory in enumerate(target.coord_estimators_c):
+                last = i == n_coords - 1
+                reps = 1 + (n_sigma_extra if last else 0)
+                if last:
+                    # the ell coordinate(s) are final: refresh the carried
+                    # factor at the post-ell theta (the ONE factorisation
+                    # of this path; the old sigma factory paid the same)
+                    cache = target.cache_init(theta)
+                if (
+                    last
+                    and sigma_sweep_fn is not None
+                    and isinstance(max_step_out, int)
+                    and max_step_out == 0
+                ):
+                    # whole-sigma-slice fused sweep: identical randomness
+                    # rows to the _slice_1d_aux discipline below (per rep:
+                    # split -> [log U(k_h), U(k_init), U(fold_in(k_loop,
+                    # j))_j]), so the sampled law is unchanged; the
+                    # realized trajectory may differ at ~1 ulp
+                    # (ops/sigma_sweep.py docstring).
+                    from auxpm_tpu.ops.sigma_sweep import (
+                        MAX_SHRINK as _SIG_MAX_SHRINK,
+                    )
+
+                    rows = []
+                    for rep in range(reps):
+                        k_rep = (
+                            coord_keys[i]
+                            if rep == 0
+                            else jax.random.fold_in(coord_keys[i], rep)
+                        )
+                        k_h, k_init, k_loop = jax.random.split(k_rep, 3)
+                        log_u = jnp.log(
+                            jax.random.uniform(k_h, (), dtype)
+                        )
+                        u1 = jax.random.uniform(k_init, (), dtype)
+                        shr = jax.vmap(
+                            lambda j, k=k_loop: jax.random.uniform(
+                                jax.random.fold_in(k, j), (), dtype
+                            )
+                        )(jnp.arange(_SIG_MAX_SHRINK))
+                        rows.append(
+                            jnp.concatenate([jnp.stack([log_u, u1]), shr])
+                        )
+                    rep_arr = jnp.stack(rows)
+                    sig_new, ll_new, lp_new, n_sh, _moved = sigma_sweep_fn(
+                        theta, state.u, cache, log_lik, log_post,
+                        widths[i], rep_arr,
+                    )
+                    theta = theta.at[i].set(sig_new)
+                    log_post = lp_new
+                    log_lik = ll_new
+                    n_probe_total = n_probe_total + n_sh
+                    continue
+                f, f2 = factory(theta, state.u, cache)
+                for rep in range(reps):
+                    k_rep = (
+                        coord_keys[i]
+                        if rep == 0
+                        else jax.random.fold_in(coord_keys[i], rep)
+                    )
+                    x_new, lp_new, ll_new, done, n_probe = _slice_1d(
+                        k_rep,
+                        theta[i],
+                        log_post,
+                        f,
+                        f2,
+                        widths[i],
+                        max_step_out,
+                        max_shrink if last else max_shrink_chol,
+                        dtype,
+                    )
+                    theta = theta.at[i].set(x_new)
+                    log_post = lp_new
+                    log_lik = jnp.where(done, ll_new, log_lik)
+                    n_probe_total = n_probe_total + n_probe
+                    if not last:
+                        n_probe_chol = n_probe_chol + n_probe
+            new_extras = {**state.extras, "target_cache": cache}
+        elif target.coord_estimators is not None:
             # structure-aware path: per-coordinate probe factories (e.g. the
             # GP's Cholesky-free log_sigma coordinate) — unrolled over the
             # (small) coordinate count.
@@ -189,7 +321,7 @@ def make_slice_theta(target, n_sigma_extra=0):
                         f2,
                         widths[i],
                         max_step_out,
-                        max_shrink,
+                        max_shrink if last else max_shrink_chol,
                         dtype,
                     )
                     theta = theta.at[i].set(x_new)
@@ -241,7 +373,16 @@ def make_slice_theta(target, n_sigma_extra=0):
             # Cholesky for targets that have one)
             n_probe_chol = n_probe_total
 
-        new_state = state.replace(theta=theta, log_lik_hat=log_lik, key=key)
+        if cache is not None and new_extras is state.extras:
+            # a non-cache-aware branch ran while a cache was carried (e.g.
+            # a cached target routed through the generic fori_loop path):
+            # refresh so the invariant cache == cache_init(theta) holds
+            from auxpm_tpu.core.state import refresh_target_cache
+
+            new_extras = refresh_target_cache(target, state.extras, theta)
+        new_state = state.replace(
+            theta=theta, log_lik_hat=log_lik, key=key, extras=new_extras
+        )
         info = {"n_probe": n_probe_total, "n_probe_chol": n_probe_chol}
         return new_state, info
 
@@ -284,10 +425,14 @@ def make_slice_theta_rd(target):
             max_shrink,
             dtype,
         )
+        from auxpm_tpu.core.state import refresh_target_cache
+
+        theta_new = theta0 + t_new * direction
         new_state = state.replace(
-            theta=theta0 + t_new * direction,
+            theta=theta_new,
             log_lik_hat=jnp.where(done, ll_new, state.log_lik_hat),
             key=key,
+            extras=refresh_target_cache(target, state.extras, theta_new),
         )
         info = {"n_probe": n_probe, "moved": done.astype(jnp.float32)}
         return new_state, info

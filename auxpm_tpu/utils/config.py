@@ -49,6 +49,11 @@ class RunConfig:
     n_ess: int = 1  # ESS u-update repeats per step (aux_slice*; bench: 4)
     n_sigma_extra: int = 0  # extra Cholesky-free log_sigma slice updates
                             # per sweep (structure-aware targets)
+    chol_cache: bool = True  # carry chol_r in state.extras (bitwise-neutral
+                             # fast path, models/base.py cache contract);
+                             # targets without cache_init ignore it
+    max_shrink_chol: int = 32  # shrink cap for Cholesky-paying slice coords
+                               # (samplers/slice_theta.py); 32 = off
     nuts_step_size: float = 0.3
     # SMC
     particles: int = 4096
@@ -216,7 +221,8 @@ def initial_params(cfg: RunConfig, target):
     # NOTE: n_sigma_extra is a STATIC factory arg (samplers/composite
     # make_aux_slice*), not a params entry — params are traced under jit.
     widths = jnp.full((target.d,), cfg.widths, jnp.float32)
-    slice_g = {"widths": widths, "max_step_out": cfg.max_step_out}
+    slice_g = {"widths": widths, "max_step_out": cfg.max_step_out,
+               "max_shrink_chol": cfg.max_shrink_chol}
     if cfg.sampler == "pm_mh":
         return {"step_size": cfg.step_size}
     params = {}

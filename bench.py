@@ -86,6 +86,15 @@ WHITEN = os.environ.get("BENCH_WHITEN", "float32")  # float32 | bfloat16
 # log_sigma slice update buys ~+9% ESS/s at 0->1; 2 and 4 give it back
 # (2.75 / 3.00 / 2.80 / 2.40 at 0/1/2/4, single-seed, 2026-08-20)
 SIGMA_EXTRA = int(os.environ.get("BENCH_SIGMA_EXTRA", 1))
+# carried chol_r cache (r5): the ESS prepare and the sigma factory reuse
+# the factor the accepted ell-probe computed instead of refactorising —
+# bitwise-identical trajectory (tests/test_cache.py), ~2 fewer O(n^3)
+# factorisations per step.  BENCH_CACHE=0 disables for A/B.
+CACHE = os.environ.get("BENCH_CACHE", "1") != "0"
+# shrink cap for the Cholesky-paying ell coordinate (see
+# samplers/slice_theta.py max_shrink_chol): under vmap the loop depth is
+# the WORST lane's shrink count; a small cap bounds it exactly.  32 = off.
+MAX_SHRINK_CHOL = int(os.environ.get("BENCH_MAX_SHRINK_CHOL", 32))
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 SEEDS = int(os.environ.get("BENCH_SEEDS", 3))
 V5E_BF16_PEAK = 197e12  # per-chip bf16 peak; MFU denominator (f32 work
@@ -154,7 +163,8 @@ def main():
     def run_one_seed(seed):
         """Warmup (adaptation, untimed) + timed stretch for one seed."""
         states = init_chain_states(
-            jax.random.key(seed), target, CHAINS, jitter_scale=0.3
+            jax.random.key(seed), target, CHAINS, jitter_scale=0.3,
+            with_cache=CACHE,
         )
         # widths as a (d,) array from the start: adaptation returns an
         # array, and a scalar->array params change would retrigger
@@ -165,6 +175,7 @@ def main():
             "slice_theta": {
                 "widths": jnp.full((target.d,), 2.0, jnp.float32),
                 "max_step_out": STEP_OUT,
+                "max_shrink_chol": MAX_SHRINK_CHOL,
             },
             "ess_u": {},
         }
@@ -298,22 +309,24 @@ def main():
         # MFU from an analytic per-step FLOP model at the MEASURED mean
         # probe counts.  (XLA's cost_analysis counts while_loop bodies once,
         # so its static figure is a meaningless lower bound for this
-        # workload.)  Per chain-step: 2 + p_chol Cholesky factorisations
-        # (the ESS prepare, the sigma-factory's chol_r, and each
-        # ell-coordinate probe — p_chol is the MEASURED mean of
-        # slice_theta/n_probe_chol, so extra Cholesky-free sigma updates
-        # don't inflate the count) at n^3/3 + the Gram build at ~4 n^2, and
-        # every estimator probe — N_ESS ESS probes of (1 + shrinks) plus all
+        # workload.)  Per chain-step: the Cholesky count is p_chol (each
+        # ell-coordinate probe; the MEASURED mean of
+        # slice_theta/n_probe_chol) plus — ONLY when the carried-factor
+        # cache is off — 2 more (the ESS prepare and the sigma-factory's
+        # chol_r; with BENCH_CACHE=1 those reuse the carried factor and
+        # compute nothing) at n^3/3 + the Gram build at ~4 n^2, and every
+        # estimator probe — N_ESS ESS probes of (1 + shrinks) plus all
         # slice probes — pays the 2 S n^2 whiten matmul.  This counts useful
-        # model FLOPs, not the masked-lane waste, so it is the honest MFU
-        # numerator.
+        # model FLOPs actually computed, not the masked-lane waste, so it is
+        # the honest MFU numerator.
         n_pad = target.u_shape[1]
         p_slice = float(np.mean(probe_stats["slice"]))
         p_chol = float(np.mean(probe_stats["chol"]))
         p_ess = float(np.mean(probe_stats["ess"]))
         chol_flops = n_pad**3 / 3 + 4.0 * n_pad**2
         est_flops = 2.0 * S * n_pad**2
-        flops_per_chain_step = (2.0 + p_chol) * chol_flops + (
+        n_extra_chol = 0.0 if CACHE else 2.0
+        flops_per_chain_step = (n_extra_chol + p_chol) * chol_flops + (
             N_ESS * (1.0 + p_ess) + p_slice
         ) * est_flops
         model_tflops = flops_per_chain_step * steps_per_sec_tpu / 1e12
@@ -351,6 +364,8 @@ def main():
             "protocol": "geyer-min-dim",
             "steps": STEPS,
             "chains": CHAINS,
+            "chol_cache": CACHE,
+            "max_shrink_chol": MAX_SHRINK_CHOL,
             "warm_windows": WARM_WINDOWS,
             "compile_wall": round(compile_wall["value"], 1),
             "partial": partial,

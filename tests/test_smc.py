@@ -426,3 +426,64 @@ def test_smc_u_blocks_validation():
     with pytest.raises(ValueError, match="not divisible"):
         make_smc_sharded(target, THETA_ONLY["slice_theta"], n_particles=64,
                          mesh=mesh, carry_u=False, u_blocks=7)
+
+
+def test_smc_fulln_flagship_config_cpu(tmp_path):
+    """CPU-sized variant of the config-5 FULL-n flagship run (VERDICT r4
+    item 7): full synthetic-Pima n=532, key-as-u particles (carry_u=False),
+    blocked u-refresh (u_blocks=8), NUTS rejuvenation, split rejuvenation
+    dispatches, per-stage checkpointing with bitwise kill-and-resume — the
+    exact knob combination of the chip-scale SMC_FULLN_* runs, so the
+    flagship path cannot silently regress between chip sessions."""
+    from auxpm_tpu.models.datasets import load
+    from auxpm_tpu.models.gp_classification import make_gp_classification
+    from auxpm_tpu.samplers.composite import THETA_ONLY
+    from auxpm_tpu.samplers.smc_sharded import make_smc_sharded
+
+    x, y = load("pima")  # FULL n=532 — the whole point of this test
+    target = make_gp_classification(
+        x, y, n_importance=8, pad_to_tiles=False, name="gp_fulln_flagship"
+    )
+    mesh = make_mesh(n_chains_shards=8)
+
+    # CPU-budget tuning: every NUTS leapfrog pays an n=532 Cholesky +
+    # VJP, so keep the population tiny, the ladder short (low ess_frac)
+    # and the trees shallow (big step off the population-var mass)
+    def rejuv_params(std):
+        return {"nuts": {"step_size": 1.0, "inv_mass": std * std}}
+
+    kw = dict(
+        n_particles=16, mesh=mesh, n_mcmc=1, carry_u=False, n_u_mh=1,
+        u_blocks=8, rejuv_batch=8, rejuv_dispatches=2, ess_frac=0.3,
+        max_stages=40, rejuvenation_params=rejuv_params,
+    )
+    key = jax.random.key(31)
+
+    states_ref, diag_ref = make_smc_sharded(
+        target, THETA_ONLY["nuts"], **kw
+    )(key)
+    assert diag_ref["betas"][-1] == 1.0
+    assert np.isfinite(diag_ref["log_z"]), diag_ref["log_z"]
+    # blocked-refresh acceptance floor at FULL n: the whole-u refresh
+    # freezes here (measured 0.11 whole-u at n=128 vs 0.875 blocked at
+    # n=532 S=64 on chip); the block-within-Gibbs refresh must stay alive
+    assert min(diag_ref["u_mh_accept"]) > 0.05, diag_ref["u_mh_accept"]
+    assert np.isfinite(np.asarray(states_ref.theta)).all()
+    assert np.isfinite(np.asarray(states_ref.log_lik_hat)).all()
+
+    # kill after stage 1, resume from disk: bit-for-bit continuation
+    ckpt = str(tmp_path / "fulln_ckpt")
+    make_smc_sharded(
+        target, THETA_ONLY["nuts"], checkpoint_dir=ckpt, **kw
+    )(key, stop_after=1)
+    states_b, diag_b = make_smc_sharded(
+        target, THETA_ONLY["nuts"], checkpoint_dir=ckpt, **kw
+    )(key)
+    assert diag_b["betas"] == diag_ref["betas"]
+    assert diag_b["log_z"] == diag_ref["log_z"]
+    np.testing.assert_array_equal(
+        np.asarray(states_b.theta), np.asarray(states_ref.theta)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(states_b.u), np.asarray(states_ref.u)
+    )

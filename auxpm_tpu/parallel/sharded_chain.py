@@ -66,20 +66,22 @@ def shard_states(states, mesh, shard_particles=False):
 
 @partial(
     jax.jit,
-    static_argnames=("transition", "n_steps", "thin", "mesh", "shard_particles"),
+    static_argnames=("transition", "n_steps", "thin", "mesh", "shard_particles",
+                     "static_params"),
 )
-def run_chains_sharded(
+def _run_chains_sharded_jit(
     transition,
     states: ChainState,
     params: dict,
     n_steps: int,
     mesh,
-    thin: int = 1,
-    shard_particles: bool = False,
+    thin: int,
+    shard_particles: bool,
+    static_params: tuple,
 ):
-    """Sharded analogue of ``samplers.chain.run_chains`` (no u recording)."""
-    if n_steps % thin:
-        raise ValueError(f"n_steps={n_steps} not divisible by thin={thin}")
+    from auxpm_tpu.samplers.chain import merge_static_params
+
+    params = merge_static_params(static_params, params)
     spec = state_pspec(shard_particles, states.extras)
     rec_spec = {"theta": P("chains"), "log_lik_hat": P("chains")}
     info_spec = P("chains")
@@ -99,3 +101,30 @@ def run_chains_sharded(
         check_vma=False,
     )
     return f(states)
+
+
+def run_chains_sharded(
+    transition,
+    states: ChainState,
+    params: dict,
+    n_steps: int,
+    mesh,
+    thin: int = 1,
+    shard_particles: bool = False,
+):
+    """Sharded analogue of ``samplers.chain.run_chains`` (no u recording).
+
+    Structural loop caps in ``params`` (Python ints under
+    samplers.chain._STATIC_PARAM_KEYS) are passed statically, exactly as in
+    ``run_chains`` — a traced cap would compile dead loop bodies and defeat
+    the fused-sweep `== 0` gates.
+    """
+    from auxpm_tpu.samplers.chain import split_static_params
+
+    if n_steps % thin:
+        raise ValueError(f"n_steps={n_steps} not divisible by thin={thin}")
+    static, dynamic = split_static_params(params)
+    return _run_chains_sharded_jit(
+        transition, states, dynamic, n_steps, mesh, thin, shard_particles,
+        static,
+    )

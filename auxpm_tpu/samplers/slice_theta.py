@@ -73,28 +73,38 @@ def _slice_1d(key, x0, log_fx0, f, f2, w, max_step_out, max_shrink, dtype):
     r0 = l0 + w
 
     # --- step out: probe both ends in one batched estimator call ---
-    # max_step_out == 0 (works traced: the loop runs zero iterations) gives
-    # Neal 2003 §4.1's shrinkage-only variant — the randomly positioned
-    # width-w interval is used directly, which is still an exact slice
-    # sampler (interval placement is symmetric in (x0, x')) and saves up to
-    # 2*max_step_out full-estimator probes per coordinate on the worst vmap
-    # lane; pair with a generous adapted width (adaptation.py width_scale).
-    def so_cond(carry):
-        l, r, i, expand_l, expand_r = carry
-        return jnp.logical_and(i < max_step_out, jnp.logical_or(expand_l, expand_r))
+    # max_step_out == 0 gives Neal 2003 §4.1's shrinkage-only variant — the
+    # randomly positioned width-w interval is used directly, which is still
+    # an exact slice sampler (interval placement is symmetric in (x0, x'))
+    # and saves up to 2*max_step_out full-estimator probes per coordinate
+    # on the worst vmap lane; pair with a generous adapted width
+    # (adaptation.py width_scale).  When the 0 arrives as a STATIC Python
+    # int, skip tracing the loop entirely: a traced-0 cap still compiles
+    # the body — for the GP ell coordinate that is a 2-point-batched full
+    # Gram+Cholesky+estimator subgraph sitting dead in the program, pure
+    # compile-time cost (part of the r5 cold-start fix).
+    if isinstance(max_step_out, int) and max_step_out == 0:
+        l, r, n_so = l0, r0, jnp.int32(0)
+    else:
+        def so_cond(carry):
+            l, r, i, expand_l, expand_r = carry
+            return jnp.logical_and(
+                i < max_step_out, jnp.logical_or(expand_l, expand_r)
+            )
 
-    def so_body(carry):
-        l, r, i, expand_l, expand_r = carry
-        lps, _ = f2(jnp.stack([l, r]))
-        expand_l = jnp.logical_and(expand_l, lps[0] > log_y)
-        expand_r = jnp.logical_and(expand_r, lps[1] > log_y)
-        l = jnp.where(expand_l, l - w, l)
-        r = jnp.where(expand_r, r + w, r)
-        return l, r, i + 1, expand_l, expand_r
+        def so_body(carry):
+            l, r, i, expand_l, expand_r = carry
+            lps, _ = f2(jnp.stack([l, r]))
+            expand_l = jnp.logical_and(expand_l, lps[0] > log_y)
+            expand_r = jnp.logical_and(expand_r, lps[1] > log_y)
+            l = jnp.where(expand_l, l - w, l)
+            r = jnp.where(expand_r, r + w, r)
+            return l, r, i + 1, expand_l, expand_r
 
-    l, r, n_so, _, _ = jax.lax.while_loop(
-        so_cond, so_body, (l0, r0, jnp.int32(0), jnp.bool_(True), jnp.bool_(True))
-    )
+        l, r, n_so, _, _ = jax.lax.while_loop(
+            so_cond, so_body,
+            (l0, r0, jnp.int32(0), jnp.bool_(True), jnp.bool_(True)),
+        )
 
     # --- shrinkage ---
     def sh_cond(carry):

@@ -22,3 +22,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test MODULES.
+
+    The r5 suite (~145 tests) accumulated enough live compiled programs in
+    the single-process CPU client to segfault deterministically partway
+    into tests/test_smc.py (reproduced twice at the same test; every
+    sub-prefix of files passes in isolation).  Clearing per module keeps
+    within-module jit reuse (the expensive shared programs are per-file)
+    while bounding the client's live-executable set.
+    """
+    yield
+    jax.clear_caches()

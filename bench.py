@@ -93,11 +93,12 @@ SIGMA_EXTRA = int(os.environ.get("BENCH_SIGMA_EXTRA", 1))
 CACHE = os.environ.get("BENCH_CACHE", "1") != "0"
 # shrink cap for the Cholesky-paying ell coordinate (see
 # samplers/slice_theta.py max_shrink_chol): under vmap the loop depth is
-# the WORST lane's shrink count; a small cap bounds it exactly.  Measured
-# (r5, 1-seed legs with the sigma sweep engaged): cap 6 -> 4.04 ESS/s at
-# 1895 chain-steps/s; cap 4 -> 3.98 at 2414 (wall -22%, tau +~same — ESS/s
-# flat, so the default keeps the milder tau distortion).  32 = off.
-MAX_SHRINK_CHOL = int(os.environ.get("BENCH_MAX_SHRINK_CHOL", 6))
+# the WORST lane's shrink count; a small cap bounds it exactly (cap-hit =
+# exact no-op move).  Measured (r5, sigma sweep engaged): cap 3 ->
+# 6.36 +- 0.14 ESS/s over 3 seeds (2800 chain-steps/s; min-dim ESS did not
+# degrade vs cap 6: 282.9 vs 272.9 same-seed); cap 4 -> 3.98; cap 6 ->
+# 4.04 (1-seed legs).  Adopted default: 3.  32 = off.
+MAX_SHRINK_CHOL = int(os.environ.get("BENCH_MAX_SHRINK_CHOL", 3))
 WIDTH_SCALE = float(os.environ.get("BENCH_WIDTH_SCALE", 2.5))
 SEEDS = int(os.environ.get("BENCH_SEEDS", 3))
 V5E_BF16_PEAK = 197e12  # per-chip bf16 peak; MFU denominator (f32 work

@@ -689,8 +689,15 @@ def make_smc_sharded(
             )
 
             # the config hash binds the checkpoint to the run definition —
-            # including the run key: a resume with a different key would
-            # silently continue a DIFFERENT random trajectory.
+            # every knob that changes the sampled TRAJECTORY, including the
+            # run key (a resume with a different key would silently
+            # continue a DIFFERENT random trajectory) and u_blocks (r5 fix:
+            # the blocked u-refresh draws per-block keys, so a resume under
+            # a different block count is a different chain).  Deliberately
+            # EXCLUDED: rejuv_batch and rejuv_dispatches — both are
+            # bitwise-equal re-chunkings of the same computation
+            # (tests/test_smc.py split-dispatch bitwise test), so a resume
+            # may re-split to fit a different dispatch-wall budget.
             ckpt_config = {
                 "smc": target.name,
                 "n_particles": n_particles,
@@ -698,6 +705,7 @@ def make_smc_sharded(
                 "n_u_mh": n_u_mh,
                 "ess_frac": ess_frac,
                 "n_mcmc": n_mcmc,
+                "u_blocks": u_blocks,
                 "key": np.asarray(jax.random.key_data(key)).tolist(),
             }
             shard_file = _os.path.join(

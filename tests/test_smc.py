@@ -428,6 +428,34 @@ def test_smc_u_blocks_validation():
                          mesh=mesh, carry_u=False, u_blocks=7)
 
 
+def test_smc_checkpoint_refuses_u_blocks_mismatch(tmp_path):
+    """u_blocks changes the sampled trajectory (per-block generating keys),
+    so a resume under a different block count must be REFUSED (r5 fix: the
+    knob was missing from the checkpoint config hash); rejuv_dispatches is
+    a bitwise-equal re-chunking and must keep resuming fine."""
+    from auxpm_tpu.samplers.composite import THETA_ONLY
+    from auxpm_tpu.samplers.smc_sharded import make_smc_sharded
+
+    target = make_gaussian_toy(n_importance=16, noise_frac=0.5)
+    mesh = make_mesh(n_chains_shards=8)
+    ckpt = str(tmp_path / "ub_ckpt")
+    kw = dict(n_particles=512, mesh=mesh, n_mcmc=1, carry_u=False, n_u_mh=1,
+              rejuv_batch=64, ess_frac=0.8, checkpoint_dir=ckpt)
+    key = jax.random.key(41)
+    make_smc_sharded(target, THETA_ONLY["slice_theta"], u_blocks=4, **kw)(
+        key, stop_after=1
+    )
+    with pytest.raises(ValueError, match="config hash mismatch"):
+        make_smc_sharded(target, THETA_ONLY["slice_theta"], u_blocks=8,
+                         **kw)(key)
+    # different rejuv_dispatches: resumes (bitwise-equal re-chunking)
+    states, diag = make_smc_sharded(
+        target, THETA_ONLY["slice_theta"], u_blocks=4, rejuv_dispatches=2,
+        **kw
+    )(key)
+    assert diag["betas"][-1] == 1.0
+
+
 def test_smc_fulln_flagship_config_cpu(tmp_path):
     """CPU-sized variant of the config-5 FULL-n flagship run (VERDICT r4
     item 7): full synthetic-Pima n=532, key-as-u particles (carry_u=False),

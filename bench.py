@@ -315,10 +315,11 @@ def main():
         # so its static figure is a meaningless lower bound for this
         # workload.)  Per chain-step: the Cholesky count is p_chol (each
         # ell-coordinate probe; the MEASURED mean of
-        # slice_theta/n_probe_chol) plus — ONLY when the carried-factor
-        # cache is off — 2 more (the ESS prepare and the sigma-factory's
-        # chol_r; with BENCH_CACHE=1 those reuse the carried factor and
-        # compute nothing) at n^3/3 + the Gram build at ~4 n^2, and every
+        # slice_theta/n_probe_chol) plus the per-sweep extras — with the
+        # carried-factor cache ONE more (the once-per-sweep cache refresh
+        # at the post-ell theta; the ESS prepare and sigma probes reuse
+        # it), without it TWO (ESS prepare + sigma-factory chol_r) — at
+        # n^3/3 + the Gram build at ~4 n^2, and every
         # estimator probe — N_ESS ESS probes of (1 + shrinks) plus all
         # slice probes — pays the 2 S n^2 whiten matmul.  This counts useful
         # model FLOPs actually computed, not the masked-lane waste, so it is
@@ -329,7 +330,7 @@ def main():
         p_ess = float(np.mean(probe_stats["ess"]))
         chol_flops = n_pad**3 / 3 + 4.0 * n_pad**2
         est_flops = 2.0 * S * n_pad**2
-        n_extra_chol = 0.0 if CACHE else 2.0
+        n_extra_chol = 1.0 if CACHE else 2.0
         flops_per_chain_step = (n_extra_chol + p_chol) * chol_flops + (
             N_ESS * (1.0 + p_ess) + p_slice
         ) * est_flops
